@@ -1,0 +1,3 @@
+from tpupt.accel.bvh import build_bvh, FlatBVH
+
+__all__ = ["build_bvh", "FlatBVH"]

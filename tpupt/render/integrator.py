@@ -1,0 +1,221 @@
+"""The path-tracing integrator ("megakernel" mode).
+
+The reference's megakernel runs one whole path per CUDA thread with a
+divergent 50-bounce loop (path_tracing_mega_kernel,
+src/lib/path_tracer.cu:227-269); its streaming mode re-launches kernels per
+bounce with a host-side count readback (cu:413-470).  Both shapes are wrong
+for TPU: the first wastes lanes on divergence, the second syncs host↔device
+every bounce.
+
+The TPU-native design traces the *entire flat ray batch* through a
+device-side bounce loop with masked lanes:
+
+  * forward rendering uses `lax.while_loop` — it exits as soon as every
+    lane has terminated (the analogue of the reference's
+    `while paths_count > 0` loop, but without any host round-trip);
+  * differentiable rendering uses a fixed-length `lax.scan` (reverse-mode
+    AD cannot cross a while_loop) with `jax.checkpoint` on the bounce body
+    so backward memory stays O(1) in bounce count.
+
+Per-sample semantics match the reference megakernel exactly (jittered
+raygen, sky background folded in on miss, first-hit G-buffer capture,
+progressive (n-1)/n accumulation — src/lib/path_tracer.cu:203-268).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpupt.core import camera as cam
+from tpupt.core.types import Camera, RenderBuffers, SceneArrays
+from tpupt.render.intersect import background_color, intersect_scene_ids, refine_hit
+from tpupt.render.materials import russian_roulette, shade
+from tpupt.sampling.rng import jitter_counters, pixel_seed, uniform
+
+MAX_BOUNCES_DEFAULT = 50  # reference max_bounces, src/lib/path_tracer.cu:27
+
+
+def _init_paths(scene, camera, width, height, iteration):
+    """Jittered primary rays + path state (reference raygen_kernel,
+    src/lib/ray_gen.cu:11-32)."""
+    n = width * height
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    seed = pixel_seed(pix, iteration)
+    c0, c1 = jitter_counters()
+    fx = (pix % jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c0)
+    fy = (pix // jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c1)
+    ro, rd = cam.generate_rays(camera, width, height, fx, fy)
+    state = dict(
+        ro=ro,
+        rd=rd,
+        t_min=jnp.full((n,), jnp.float32(cam.T_MIN_PRIMARY)),
+        color=jnp.ones((n, 3), jnp.float32),
+        alive=jnp.ones((n,), bool),
+        normal=-rd,
+        depth=jnp.full((n,), jnp.float32(1e6)),
+        rays=jnp.int32(0),
+    )
+    return state, seed
+
+
+def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn):
+    """One wavefront bounce over all lanes.  ``bounce`` may be traced."""
+    alive = state["alive"]
+    rays = state["rays"] + jnp.sum(alive, dtype=jnp.int32)
+
+    ids, _ = intersect_fn(scene, state["ro"], state["rd"], state["t_min"], alive)
+    hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
+
+    hit_alive = alive & hit.mask
+    miss = alive & ~hit.mask
+
+    color = jnp.where(
+        miss[..., None],
+        state["color"] * background_color(scene, state["rd"]),
+        state["color"],
+    )
+
+    first = jnp.equal(bounce, 0)
+    normal = jnp.where((first & hit.mask)[..., None], hit.normal, state["normal"])
+    depth = jnp.where(first & hit.mask, hit.t, state["depth"])
+
+    new_ro, new_rd, new_t_min, new_color = shade(
+        scene, hit, state["ro"], state["rd"], state["t_min"], color, seed, bounce
+    )
+    sel = hit_alive[..., None]
+    out = dict(
+        ro=jnp.where(sel, new_ro, state["ro"]),
+        rd=jnp.where(sel, new_rd, state["rd"]),
+        t_min=jnp.where(hit_alive, new_t_min, state["t_min"]),
+        color=jnp.where(sel, new_color, color),
+        alive=hit_alive,
+        normal=normal,
+        depth=depth,
+        rays=rays,
+    )
+    if rr_start is not None:
+        # Unbiased RR: survivors divide throughput by the survival
+        # probability; killed lanes have collected no emission yet (the only
+        # light is the background) so they contribute zero.
+        tp, al = russian_roulette(out["color"], out["alive"], seed, bounce)
+        apply = bounce >= rr_start
+        was_alive = out["alive"]
+        killed = apply & was_alive & ~al
+        survived = apply & al
+        color_rr = jnp.where(survived[..., None], tp, out["color"])
+        color_rr = jnp.where(killed[..., None], 0.0, color_rr)
+        out["color"] = color_rr
+        out["alive"] = jnp.where(apply, al, was_alive)
+    return out
+
+
+def trace_sample(
+    scene: SceneArrays,
+    camera: Camera,
+    width: int,
+    height: int,
+    iteration,
+    max_bounces: int = MAX_BOUNCES_DEFAULT,
+    differentiable: bool = False,
+    rr_start: int | None = None,
+    intersect_fn=intersect_scene_ids,
+):
+    """Trace one sample-per-pixel pass.
+
+    Returns (color (N,3), normal (N,3), depth (N,), rays ()) with
+    N = width*height in row-major y*W+x order.
+
+    ``intersect_fn`` is pluggable so the brute-force CPU reference renderer
+    (tpupt/cpu_ref) shares this exact integrator — only the accelerator
+    differs, which is what makes allclose tests meaningful.
+    """
+    state, seed = _init_paths(scene, camera, width, height, iteration)
+
+    if not differentiable:
+
+        def cond(carry):
+            b, st = carry
+            return (b < max_bounces) & jnp.any(st["alive"])
+
+        def body(carry):
+            b, st = carry
+            return b + 1, _bounce_body(scene, seed, st, b, rr_start, intersect_fn)
+
+        _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
+    else:
+
+        @jax.checkpoint
+        def body(st, b):
+            return _bounce_body(scene, seed, st, b, rr_start, intersect_fn), None
+
+        state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
+
+    return state["color"], state["normal"], state["depth"], state["rays"]
+
+
+def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
+    """Progressive temporal average (reference final_gather,
+    src/lib/path_tracer.cu:203-219): new = (old*(n-1) + x) / n."""
+    it = buffers.iteration
+    nf = (it + 1).astype(jnp.float32)
+    first = it == 0
+
+    def acc(old, new):
+        mixed = (old * (nf - 1.0) + new) / nf
+        return jnp.where(first, new, mixed)
+
+    return RenderBuffers(
+        color=acc(buffers.color, color),
+        normal=acc(buffers.normal, normal),
+        depth=acc(buffers.depth, depth),
+        iteration=it + 1,
+    )
+
+
+def render_image(
+    scene: SceneArrays,
+    camera: Camera,
+    width: int,
+    height: int,
+    spp: int = 1,
+    max_bounces: int = MAX_BOUNCES_DEFAULT,
+    differentiable: bool = False,
+    rr_start: int | None = None,
+    start_iteration: int = 0,
+    intersect_fn=intersect_scene_ids,
+):
+    """Render ``spp`` progressive samples (the CLI loop,
+    reference src/cli/cli.cpp:96-99).
+
+    Returns (RenderBuffers, total_rays ()).  Jit-compatible: the spp loop is
+    a `lax.fori_loop` for forward rendering and a `lax.scan` when
+    differentiable (so reverse-mode AD can cross it).
+    """
+    n = width * height
+    buffers = RenderBuffers.create(n)
+    buffers = buffers.replace(iteration=jnp.asarray(start_iteration, jnp.int32))
+
+    def one(buffers_rays, it):
+        buffers, rays = buffers_rays
+        color, normal, depth, r = trace_sample(
+            scene, camera, width, height, it,
+            max_bounces=max_bounces,
+            differentiable=differentiable,
+            rr_start=rr_start,
+            intersect_fn=intersect_fn,
+        )
+        return (accumulate(buffers, color, normal, depth), rays + r), None
+
+    its = jnp.arange(start_iteration, start_iteration + spp, dtype=jnp.int32)
+    if differentiable:
+        (buffers, rays), _ = lax.scan(one, (buffers, jnp.int32(0)), its)
+    else:
+        def body(i, br):
+            return one(br, its[i])[0]
+
+        buffers, rays = lax.fori_loop(0, spp, body, (buffers, jnp.int32(0)))
+    return buffers, rays

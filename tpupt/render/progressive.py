@@ -1,0 +1,110 @@
+"""Progressive rendering engine — the library analogue of the reference
+`PathTracer` class (src/lib/path_tracer.hpp:60-99) plus the interactive
+app's capabilities (progressive accumulation, restart on camera move,
+resize, display-buffer selection, denoiser toggle) exposed as methods
+instead of an ImGui panel (SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupt.core.types import Camera, RenderBuffers, SceneArrays
+from tpupt.denoise.atrous import atrous_denoise
+from tpupt.render.integrator import MAX_BOUNCES_DEFAULT, accumulate, trace_sample
+from tpupt.utils.image import depth_to_uint8, to_uint8
+
+
+class PathTracer:
+    """Owns the scene arrays, accumulation buffers and the jitted step."""
+
+    def __init__(
+        self,
+        scene: SceneArrays,
+        resolution: tuple[int, int],
+        max_bounces: int = MAX_BOUNCES_DEFAULT,
+        rr_start: int | None = None,
+    ):
+        self.scene = scene
+        self.max_bounces = max_bounces
+        self.rr_start = rr_start
+        self.max_iterations = 2_000_000  # reference default-ish cap (gui knob)
+        # denoiser knobs (reference edge_avoiding_a_trous_denoiser.hpp:9-12)
+        self.denoiser_enabled = False
+        self.filter_size = 10
+        self.color_weight = 0.45
+        self.normal_weight = 0.30
+        self.position_weight = 0.25
+
+        self._denoised: jnp.ndarray | None = None
+        self.resize_image(resolution)
+
+        @partial(jax.jit, static_argnums=(3, 4))
+        def _step(scene, camera, buffers, width, height):
+            color, normal, depth, rays = trace_sample(
+                scene, camera, width, height, buffers.iteration,
+                max_bounces=self.max_bounces, rr_start=self.rr_start,
+            )
+            return accumulate(buffers, color, normal, depth), rays
+
+        self._step = _step
+
+    # --- reference API surface (path_tracer.hpp:60-99) -----------------
+    def resize_image(self, resolution: tuple[int, int]) -> None:
+        self.width, self.height = int(resolution[0]), int(resolution[1])
+        self.buffers = RenderBuffers.create(self.width * self.height)
+        self._denoised = None
+
+    def restart(self) -> None:
+        self.buffers = RenderBuffers.create(self.width * self.height)
+        self._denoised = None
+
+    @property
+    def iteration(self) -> int:
+        return int(self.buffers.iteration)
+
+    def path_trace(self, camera: Camera) -> int:
+        """One progressive sample.  Returns ray-segments traced."""
+        if self.iteration >= self.max_iterations:
+            return 0
+        self.buffers, rays = self._step(
+            self.scene, camera, self.buffers, self.width, self.height
+        )
+        self._denoised = None
+        return int(rays)
+
+    def denoise(self, camera: Camera) -> jnp.ndarray:
+        """Run the à-trous denoiser on the accumulated buffers
+        (reference PathTracer::denoise, src/lib/path_tracer.cu:473-478)."""
+        self._denoised = atrous_denoise(
+            self.buffers.color.reshape(self.height, self.width, 3),
+            self.buffers.normal.reshape(self.height, self.width, 3),
+            self.buffers.depth.reshape(self.height, self.width),
+            camera,
+            filter_size=self.filter_size,
+            color_weight=self.color_weight,
+            normal_weight=self.normal_weight,
+            position_weight=self.position_weight,
+        ).reshape(-1, 3)
+        return self._denoised
+
+    def display(self, buffer_type: str = "final") -> np.ndarray:
+        """Tonemapped uint8 view (reference send_to_preview + DisplayBufferType,
+        src/lib/path_tracer.cu:480-520): final | color | normal | depth."""
+        h, w = self.height, self.width
+        if buffer_type == "final":
+            src = self._denoised if self._denoised is not None else self.buffers.color
+            return to_uint8(np.asarray(src).reshape(h, w, 3))
+        if buffer_type == "color":
+            return to_uint8(np.asarray(self.buffers.color).reshape(h, w, 3))
+        if buffer_type == "normal":
+            return to_uint8(
+                np.asarray(self.buffers.normal).reshape(h, w, 3), "neg1_1_to_0_1"
+            )
+        if buffer_type == "depth":
+            return depth_to_uint8(np.asarray(self.buffers.depth).reshape(h, w))
+        raise ValueError(f"unknown buffer type {buffer_type!r}")
