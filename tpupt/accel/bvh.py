@@ -59,8 +59,29 @@ def _max_extent_axis(ext: np.ndarray) -> int:
     return 1 if ext[1] > ext[2] else 2
 
 
-def build_bvh(positions: np.ndarray, tris: np.ndarray) -> FlatBVH:
-    """Build a flat BVH. positions: (V,3) float, tris: (T,3) int."""
+def build_bvh(positions: np.ndarray, tris: np.ndarray, use_native: bool | None = None) -> FlatBVH:
+    """Build a flat BVH. positions: (V,3) float, tris: (T,3) int.
+
+    Dispatches to the native C++ builder (tpupt/native/bvh_builder.cpp —
+    same split policy, ~50x faster on large meshes, mirroring the
+    reference's C++ host-side build) when available; this pure-numpy
+    implementation is the always-available fallback and the semantic spec.
+    """
+    if use_native is None:
+        use_native = tris is not None and len(tris) >= 64
+    if use_native:
+        try:
+            from tpupt import native
+
+            flat = native.build_bvh_native(positions, tris)
+            if flat is not None:
+                return flat
+        except Exception:
+            pass  # fall back to the numpy builder
+    return _build_bvh_numpy(positions, tris)
+
+
+def _build_bvh_numpy(positions: np.ndarray, tris: np.ndarray) -> FlatBVH:
     positions = np.asarray(positions, np.float32)
     tris = np.asarray(tris, np.int64)
     T = tris.shape[0]
@@ -70,6 +91,16 @@ def build_bvh(positions: np.ndarray, tris: np.ndarray) -> FlatBVH:
     v = positions[tris]  # (T, 3, 3)
     leaf_min = v.min(axis=1).astype(np.float64)
     leaf_max = v.max(axis=1).astype(np.float64)
+    return build_bvh_from_aabbs(leaf_min, leaf_max)
+
+
+def build_bvh_from_aabbs(leaf_min: np.ndarray, leaf_max: np.ndarray) -> FlatBVH:
+    """Build the flat DFS+skip BVH over arbitrary leaf AABBs; ``node_tri``
+    holds the leaf *index* (used both for triangle leaves and for the
+    top-level BVH over treelets, accel/treelets.py)."""
+    T = leaf_min.shape[0]
+    leaf_min = np.asarray(leaf_min, np.float64)
+    leaf_max = np.asarray(leaf_max, np.float64)
     centers = (leaf_min + leaf_max) * 0.5
 
     # --- recursive build over a permutation, explicit stack ----------------

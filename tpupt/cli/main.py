@@ -1,0 +1,136 @@
+"""Headless CLI renderer.
+
+The analogue of the reference CLI frontend (src/cli/cli.cpp:62-116 +
+src/configurations.cpp:7-45): positional scene file, -o/--output, --spp
+override, per-stage Stopwatch report, PNG write.  Extensions: --denoise,
+--max-bounces, --mode, --rr, --resolution, --stats-json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpupt",
+        description="TPU-native differentiable path tracer (headless render)",
+    )
+    p.add_argument("filename", help="scene .json file (path or name under assets/scenes)")
+    p.add_argument("-o", "--output", required=True, help="output PNG path")
+    p.add_argument("--spp", type=int, default=None, help="override scene samples-per-pixel")
+    p.add_argument("--max-bounces", type=int, default=50, help="max path length (reference: 50)")
+    p.add_argument("--resolution", type=str, default=None, help="WxH override, e.g. 1024x1024")
+    p.add_argument("--denoise", action="store_true", help="apply the a-trous denoiser")
+    p.add_argument("--rr", type=int, default=None, metavar="BOUNCE",
+                   help="enable russian roulette from this bounce (extension)")
+    p.add_argument("--method", default="megakernel",
+                   choices=["megakernel", "streaming"],
+                   help="integrator (reference GPUMethod: megakernel | streaming)")
+    p.add_argument("--display", default="final",
+                   choices=["final", "color", "normal", "depth"],
+                   help="which buffer to write (reference DisplayBufferType)")
+    p.add_argument("--stats-json", default=None, help="write stage timing/throughput JSON here")
+    p.add_argument("--honor-background", action="store_true",
+                   help="honor the scene 'background' key (the reference ignores it)")
+    return p
+
+
+def resolve_scene_path(filename: str) -> str:
+    """Reference read_scene: resolve under the asset dir, require .json
+    (src/lib/assets/scene_parser.cpp:6-22)."""
+    from tpupt.scene.assets_gen import locate_asset_path
+
+    if not filename.endswith(".json"):
+        raise SystemExit(f"Only support scenes in json format (got {filename!r})")
+    if os.path.exists(filename):
+        return filename
+    cand = os.path.join(locate_asset_path(), "scenes", filename)
+    if os.path.exists(cand):
+        return cand
+    raise SystemExit(f"Cannot find scene file {filename!r}")
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    from tpupt.utils.timer import Stopwatch
+
+    sw = Stopwatch()
+    sw.stage("Scene loading")
+
+    from tpupt.scene.assets_gen import ensure_models
+    from tpupt.scene.json_parser import scene_from_json
+
+    ensure_models()
+    scene_path = resolve_scene_path(args.filename)
+    desc = scene_from_json(scene_path, honor_background=args.honor_background)
+    if args.spp is not None:
+        desc.spp = args.spp
+    if args.resolution:
+        w, h = args.resolution.lower().split("x")
+        desc.resolution = (int(w), int(h))
+    width, height = desc.resolution
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    print(f"Scene: {scene_path}")
+    print(f"Resolution: {width}x{height}  spp: {desc.spp}  max bounces: {args.max_bounces}")
+
+    sw.stage("Initialization")
+    from tpupt.render.progressive import PathTracer
+
+    scene = desc.build()
+    tracer = PathTracer(scene, (width, height),
+                        max_bounces=args.max_bounces, rr_start=args.rr,
+                        method=args.method)
+
+    sw.stage("Path tracing")
+    total_rays = 0
+    t0 = time.perf_counter()
+    for _ in range(desc.spp):
+        total_rays += tracer.path_trace(desc.camera)
+    jax.block_until_ready(tracer.buffers.color)
+    trace_secs = time.perf_counter() - t0
+
+    if args.denoise:
+        sw.stage("Denoising")
+        tracer.denoise(desc.camera)
+        jax.block_until_ready(tracer._denoised)
+
+    sw.stage("Image writing")
+    from tpupt.utils.image import write_image_file
+
+    img = tracer.display(args.display)
+    write_image_file(args.output, img)
+
+    sw.end_stage()
+    print(sw.report())
+    mrays = total_rays / max(trace_secs, 1e-9) / 1e6
+    print(f"Traced {total_rays} ray segments in {trace_secs:.3f}s = {mrays:.2f} Mrays/s")
+
+    if args.stats_json:
+        with open(args.stats_json, "w") as fh:
+            json.dump(
+                {
+                    "scene": scene_path,
+                    "resolution": [width, height],
+                    "spp": desc.spp,
+                    "rays": total_rays,
+                    "path_tracing_secs": trace_secs,
+                    "mrays_per_sec": mrays,
+                    "stages": dict(sw.stages),
+                },
+                fh,
+                indent=2,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

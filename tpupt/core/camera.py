@@ -46,9 +46,12 @@ def camera_from_matrix(camera_to_world, vfov) -> Camera:
 def generate_rays(camera: Camera, width: int, height: int, fx: jnp.ndarray, fy: jnp.ndarray):
     """Primary rays for (possibly jittered) pixel coordinates.
 
-    fx, fy: (N,) float pixel coordinates.  Returns (origins (N,3),
-    directions (N,3)); directions are normalized (reference ray_gen.cu:58-59).
+    fx, fy: (N,) float pixel coordinates.  Returns (Vec3 origins, Vec3
+    directions) in component-SoA form (core/vec.py); directions are
+    normalized (reference ray_gen.cu:58-59).
     """
+    from tpupt.core.vec import Vec3, transform_vector
+
     aspect = jnp.float32(width / height)
     viewport_h = 2.0 * jnp.tan(camera.vfov / 2.0)
     viewport_w = aspect * viewport_h
@@ -58,15 +61,16 @@ def generate_rays(camera: Camera, width: int, height: int, fx: jnp.ndarray, fy: 
     v = (jnp.float32(height) - fy) / jnp.float32(height - 1)
 
     # camera-space direction = lower_left + u*horizontal + v*vertical
-    dx = (u - 0.5) * viewport_w
-    dy = (v - 0.5) * viewport_h
-    dz = -focal * jnp.ones_like(dx)
-    d_cam = jnp.stack([dx, dy, dz], axis=-1)
+    d_cam = Vec3(
+        (u - 0.5) * viewport_w,
+        (v - 0.5) * viewport_h,
+        -focal * jnp.ones_like(u),
+    )
 
     m = camera.camera_matrix
-    world_origin = m[:3, 3]
-    world_dir = math3d.normalize(math3d.transform_vector(m[None], d_cam))
-    ro = jnp.broadcast_to(world_origin, world_dir.shape)
+    world_dir = transform_vector(m, d_cam).normalize()
+    ones = jnp.ones_like(u)
+    ro = Vec3(m[0, 3] * ones, m[1, 3] * ones, m[2, 3] * ones)
     return ro, world_dir
 
 

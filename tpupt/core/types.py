@@ -102,10 +102,21 @@ class SceneArrays:
     # links (our layout; the reference flattens breadth-first with
     # right = left + 1, src/lib/accelerators/bvh.cpp:211-253 — DFS+skip makes
     # the traversal stackless which is what lockstep vector lanes want).
+    # Used by the per-ray reference traversal (accel/traverse.py).
     node_min: jnp.ndarray  # (B, 3) f32 — object-space AABB
     node_max: jnp.ndarray  # (B, 3) f32
     node_tri: jnp.ndarray  # (B,) i32 — global triangle id (leaf), else -1
     node_skip: jnp.ndarray  # (B,) i32 — absolute next-node-if-skip, -1 = done
+
+    # World-space treelet table — the PRODUCTION accelerator on TPU
+    # (accel/treelets.py): packed per-instance world-space triangle blocks
+    # swept by ray packets with dense vector math.
+    tre_min: jnp.ndarray  # (K, 3) f32 world AABB per treelet
+    tre_max: jnp.ndarray  # (K, 3) f32
+    tre_tris: jnp.ndarray  # (K, L*9) f32 — [p0,e1,e2] x L, padded
+    slot_src: jnp.ndarray  # (K*L,) i32 — original global tri id, -1 pad
+    slot_obj: jnp.ndarray  # (K*L,) i32 — owning object id, -1 pad
+    slot_mat: jnp.ndarray  # (K*L,) i32 — material id per slot (0 for pad)
 
     materials: Materials
 
@@ -124,6 +135,8 @@ class SceneArrays:
     s_mesh_root: tuple = struct.field(pytree_node=False, default=())
     # global triangle range (lo, hi) per mesh
     s_mesh_tri_range: tuple = struct.field(pytree_node=False, default=())
+    # treelet leaf size L (static: shapes depend on it)
+    s_leaf_size: int = struct.field(pytree_node=False, default=64)
 
     @property
     def num_objects(self) -> int:
@@ -137,12 +150,13 @@ class SceneArrays:
 @struct.dataclass
 class Hit:
     """Differentiable hit record (reference Intersection,
-    src/lib/intersection.hpp:8-14), vectorized over a flat ray batch."""
+    src/lib/intersection.hpp:8-14), vectorized over a flat ray batch.
+    point/normal are component-SoA Vec3 (core/vec.py)."""
 
     mask: jnp.ndarray  # (N,) bool — did the ray hit anything
     t: jnp.ndarray  # (N,) f32 — world-space hit distance
-    point: jnp.ndarray  # (N, 3) f32
-    normal: jnp.ndarray  # (N, 3) f32 — faces against the incident ray
+    point: Any  # Vec3 of (N,)
+    normal: Any  # Vec3 of (N,) — faces against the incident ray
     front: jnp.ndarray  # (N,) bool — HitFaceSide::front
     mat_id: jnp.ndarray  # (N,) i32
 

@@ -18,35 +18,34 @@ from tpupt.accel.traverse import moller_trumbore
 from tpupt.core import math3d
 from tpupt.core.types import HitIds, OBJ_SPHERE, PRIM_SPHERE, PRIM_TRIANGLE, PRIM_NONE
 from tpupt.render.integrator import render_image, trace_sample
-from tpupt.render.intersect import _sphere_candidate, BIG_T
+from tpupt.render.intersect import _sphere_pass, BIG_T
 
 _CHUNK = 512  # triangles per vectorized block
 
 
 def intersect_scene_ids_brute(scene, ro, rd, t_min, active):
     """Exhaustive closest-hit: same winner semantics as the accelerated
-    path (equal-t overwrites, objects scanned in order)."""
+    path (equal-t overwrites, objects scanned in order).  ro/rd are Vec3
+    (core/vec.py); the all-pairs math uses (N, C) arrays — fine on CPU."""
     scene = lax.stop_gradient(scene)
     ro = lax.stop_gradient(ro)
     rd = lax.stop_gradient(rd)
     t_min = lax.stop_gradient(t_min)
 
-    n = ro.shape[0]
+    n = ro.x.shape[0]
     t_best = jnp.full((n,), BIG_T)
     kind = jnp.full((n,), PRIM_NONE, jnp.int32)
     obj_id = jnp.full((n,), -1, jnp.int32)
     prim_id = jnp.full((n,), -1, jnp.int32)
 
-    total_tris = int(scene.tri_idx.shape[0])
+    t_best, kind, obj_id, prim_id, *_ = _sphere_pass(
+        scene, ro, rd, t_min, active, t_best, kind, obj_id, prim_id
+    )
 
+    ro_a, rd_a = ro.to_array(), rd.to_array()
     for o, (okind, oprim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
         if okind == OBJ_SPHERE:
-            hit, t_w = _sphere_candidate(scene, o, oprim, ro, rd, t_min, t_best)
-            take = active & hit
-            t_best = jnp.where(take, t_w, t_best)
-            kind = jnp.where(take, PRIM_SPHERE, kind)
-            obj_id = jnp.where(take, o, obj_id)
-            prim_id = jnp.where(take, oprim, prim_id)
+            continue  # handled in the sphere pass above
         else:
             # mesh extent within the global pools (static metadata)
             lo, hi = scene.s_mesh_tri_range[oprim]
@@ -58,8 +57,8 @@ def intersect_scene_ids_brute(scene, ro, rd, t_min, active):
                 w = math3d.transform_point(m[None, None], verts)
                 # (N, C) all-pairs test
                 ok, t = moller_trumbore(
-                    ro[:, None],
-                    rd[:, None],
+                    ro_a[:, None],
+                    rd_a[:, None],
                     w[None, :, 0],
                     w[None, :, 1],
                     w[None, :, 2],
@@ -79,7 +78,7 @@ def intersect_scene_ids_brute(scene, ro, rd, t_min, active):
                 obj_id = jnp.where(take, o, obj_id)
                 prim_id = jnp.where(take, tri_ids[best_c], prim_id)
 
-    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), jnp.int32(0)
+    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), None
 
 
 def render_image_ref(scene, camera, width, height, spp=1, **kw):

@@ -35,9 +35,9 @@ def _positions_from_depth(depth: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     """(H, W) depth -> (H, W, 3) world positions via pixel-center rays."""
     h, w = depth.shape
     fx, fy = cam.pixel_centers(w, h)
-    ro, rd = cam.generate_rays(camera, w, h, fx, fy)
-    pos = ro + rd * depth.reshape(-1, 1)
-    return pos.reshape(h, w, 3)
+    ro, rd = cam.generate_rays(camera, w, h, fx, fy)  # Vec3 of (H*W,)
+    pos = ro + rd * depth.reshape(-1)
+    return pos.to_array().reshape(h, w, 3)
 
 
 def _shift(padded: jnp.ndarray, dy: int, dx: int, pad: int, h: int, w: int):

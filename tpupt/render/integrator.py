@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpupt.core import camera as cam
+from tpupt.core import vec
+from tpupt.core.vec import Vec3
 from tpupt.core.types import Camera, RenderBuffers, SceneArrays
 from tpupt.render.intersect import background_color, intersect_scene_ids, refine_hit
 from tpupt.render.materials import russian_roulette, shade
@@ -39,59 +41,80 @@ from tpupt.sampling.rng import jitter_counters, pixel_seed, uniform
 MAX_BOUNCES_DEFAULT = 50  # reference max_bounces, src/lib/path_tracer.cu:27
 
 
-def _init_paths(scene, camera, width, height, iteration):
+def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
     """Jittered primary rays + path state (reference raygen_kernel,
-    src/lib/ray_gen.cu:11-32)."""
-    n = width * height
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    src/lib/ray_gen.cu:11-32).  All path state is component-SoA (Vec3 of
+    (N,) arrays — core/vec.py).
+
+    ``row0``/``rows`` select a horizontal band of the image — the unit of
+    tile sharding.  All RNG and camera math uses *global* pixel indices, so
+    a sharded render is bit-identical to the single-device one.
+    """
+    rows = height if rows is None else rows
+    n = width * rows
+    pix = jnp.asarray(row0, jnp.uint32) * jnp.uint32(width) + jnp.arange(
+        n, dtype=jnp.uint32
+    )
     seed = pixel_seed(pix, iteration)
     c0, c1 = jitter_counters()
     fx = (pix % jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c0)
     fy = (pix // jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c1)
     ro, rd = cam.generate_rays(camera, width, height, fx, fy)
+    # derive constants from `pix` so they inherit its varying-manual-axes
+    # type under shard_map (row0 is the per-tile varying input)
+    zf = (pix * jnp.uint32(0)).astype(jnp.float32)
+    ones = zf + 1.0
     state = dict(
         ro=ro,
         rd=rd,
-        t_min=jnp.full((n,), jnp.float32(cam.T_MIN_PRIMARY)),
-        color=jnp.ones((n, 3), jnp.float32),
-        alive=jnp.ones((n,), bool),
+        t_min=zf + jnp.float32(cam.T_MIN_PRIMARY),
+        color=Vec3(ones, ones, ones),
+        alive=zf == 0.0,
         normal=-rd,
-        depth=jnp.full((n,), jnp.float32(1e6)),
-        rays=jnp.int32(0),
+        depth=zf + jnp.float32(1e6),
+        rays=(pix[0] * jnp.uint32(0)).astype(jnp.int32),
     )
     return state, seed
 
 
-def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn):
-    """One wavefront bounce over all lanes.  ``bounce`` may be traced."""
+def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine):
+    """One wavefront bounce over all lanes.  ``bounce`` may be traced.
+
+    ``use_refine``: the differentiable path recomputes the hit in closed
+    form (refine_hit) so gradients flow; the forward path consumes the
+    gather-free hit record straight from the intersector when it provides
+    one (XLA dead-code-eliminates the unused half).
+    """
     alive = state["alive"]
     rays = state["rays"] + jnp.sum(alive, dtype=jnp.int32)
 
-    ids, _ = intersect_fn(scene, state["ro"], state["rd"], state["t_min"], alive)
-    hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
+    ids, fwd = intersect_fn(scene, state["ro"], state["rd"], state["t_min"], alive)
+    if use_refine or fwd is None:
+        hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
+    else:
+        hit = fwd
 
     hit_alive = alive & hit.mask
     miss = alive & ~hit.mask
 
-    color = jnp.where(
-        miss[..., None],
+    color = vec.where(
+        miss,
         state["color"] * background_color(scene, state["rd"]),
         state["color"],
     )
 
     first = jnp.equal(bounce, 0)
-    normal = jnp.where((first & hit.mask)[..., None], hit.normal, state["normal"])
+    normal = vec.where(first & hit.mask, hit.normal, state["normal"])
     depth = jnp.where(first & hit.mask, hit.t, state["depth"])
 
     new_ro, new_rd, new_t_min, new_color = shade(
         scene, hit, state["ro"], state["rd"], state["t_min"], color, seed, bounce
     )
-    sel = hit_alive[..., None]
     out = dict(
-        ro=jnp.where(sel, new_ro, state["ro"]),
-        rd=jnp.where(sel, new_rd, state["rd"]),
+        ro=vec.where(hit_alive, new_ro, state["ro"]),
+        rd=vec.where(hit_alive, new_rd, state["rd"]),
         t_min=jnp.where(hit_alive, new_t_min, state["t_min"]),
-        color=jnp.where(sel, new_color, color),
+        color=vec.where(hit_alive, new_color, color),
         alive=hit_alive,
         normal=normal,
         depth=depth,
@@ -106,8 +129,9 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn):
         was_alive = out["alive"]
         killed = apply & was_alive & ~al
         survived = apply & al
-        color_rr = jnp.where(survived[..., None], tp, out["color"])
-        color_rr = jnp.where(killed[..., None], 0.0, color_rr)
+        zero = Vec3.full(killed.shape, 0.0, 0.0, 0.0)
+        color_rr = vec.where(survived, tp, out["color"])
+        color_rr = vec.where(killed, zero, color_rr)
         out["color"] = color_rr
         out["alive"] = jnp.where(apply, al, was_alive)
     return out
@@ -123,17 +147,19 @@ def trace_sample(
     differentiable: bool = False,
     rr_start: int | None = None,
     intersect_fn=intersect_scene_ids,
+    row0=0,
+    rows: int | None = None,
 ):
     """Trace one sample-per-pixel pass.
 
     Returns (color (N,3), normal (N,3), depth (N,), rays ()) with
-    N = width*height in row-major y*W+x order.
+    N = width*rows (rows defaults to height) in row-major y*W+x order.
 
     ``intersect_fn`` is pluggable so the brute-force CPU reference renderer
     (tpupt/cpu_ref) shares this exact integrator — only the accelerator
     differs, which is what makes allclose tests meaningful.
     """
-    state, seed = _init_paths(scene, camera, width, height, iteration)
+    state, seed = _init_paths(scene, camera, width, height, iteration, row0, rows)
 
     if not differentiable:
 
@@ -143,18 +169,31 @@ def trace_sample(
 
         def body(carry):
             b, st = carry
-            return b + 1, _bounce_body(scene, seed, st, b, rr_start, intersect_fn)
+            return b + 1, _bounce_body(
+                scene, seed, st, b, rr_start, intersect_fn, use_refine=False
+            )
 
         _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
 
         @jax.checkpoint
         def body(st, b):
-            return _bounce_body(scene, seed, st, b, rr_start, intersect_fn), None
+            return (
+                _bounce_body(
+                    scene, seed, st, b, rr_start, intersect_fn, use_refine=True
+                ),
+                None,
+            )
 
         state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
 
-    return state["color"], state["normal"], state["depth"], state["rays"]
+    # boundary representation: (N, 3) arrays for buffers/images
+    return (
+        state["color"].to_array(),
+        state["normal"].to_array(),
+        state["depth"],
+        state["rays"],
+    )
 
 
 def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
@@ -187,6 +226,8 @@ def render_image(
     rr_start: int | None = None,
     start_iteration: int = 0,
     intersect_fn=intersect_scene_ids,
+    row0=0,
+    rows: int | None = None,
 ):
     """Render ``spp`` progressive samples (the CLI loop,
     reference src/cli/cli.cpp:96-99).
@@ -195,9 +236,16 @@ def render_image(
     a `lax.fori_loop` for forward rendering and a `lax.scan` when
     differentiable (so reverse-mode AD can cross it).
     """
-    n = width * height
-    buffers = RenderBuffers.create(n)
-    buffers = buffers.replace(iteration=jnp.asarray(start_iteration, jnp.int32))
+    n = width * (height if rows is None else rows)
+    # varying-zero template (see _init_paths note): row0 is the per-tile
+    # varying input when sharded, a plain 0 otherwise
+    zrow = (jnp.asarray(row0) * 0).astype(jnp.float32)
+    buffers = RenderBuffers(
+        color=jnp.zeros((n, 3), jnp.float32) + zrow,
+        normal=jnp.zeros((n, 3), jnp.float32) + zrow,
+        depth=jnp.zeros((n,), jnp.float32) + zrow,
+        iteration=jnp.asarray(start_iteration, jnp.int32),
+    )
 
     def one(buffers_rays, it):
         buffers, rays = buffers_rays
@@ -207,15 +255,18 @@ def render_image(
             differentiable=differentiable,
             rr_start=rr_start,
             intersect_fn=intersect_fn,
+            row0=row0,
+            rows=rows,
         )
         return (accumulate(buffers, color, normal, depth), rays + r), None
 
     its = jnp.arange(start_iteration, start_iteration + spp, dtype=jnp.int32)
+    rays0 = zrow.astype(jnp.int32)
     if differentiable:
-        (buffers, rays), _ = lax.scan(one, (buffers, jnp.int32(0)), its)
+        (buffers, rays), _ = lax.scan(one, (buffers, rays0), its)
     else:
         def body(i, br):
             return one(br, its[i])[0]
 
-        buffers, rays = lax.fori_loop(0, spp, body, (buffers, jnp.int32(0)))
+        buffers, rays = lax.fori_loop(0, spp, body, (buffers, rays0))
     return buffers, rays

@@ -1,33 +1,35 @@
-"""Scene-level closest-hit intersection.
+"""Scene-level closest-hit intersection (component-SoA hot path).
 
 Two-phase design for differentiability (SURVEY.md §7 "hard parts"):
 
   1. ``intersect_scene_ids`` — finds WHICH primitive each ray hits.  Runs
-     the stackless BVH traversal (`lax.while_loop`, not reverse-mode
+     the packet-treelet sweep (`lax.while_loop`, not reverse-mode
      differentiable) entirely on `stop_gradient` inputs and returns only
      discrete ids + a non-diff t.
 
   2. ``refine_hit`` — given the ids, recomputes t / point / normal / face
-     side in closed form from the *differentiable* scene parameters and ray.
-     Gradients w.r.t. vertex positions, sphere center/radius and the ray
-     flow through this step; the discrete visibility decision is treated as
-     locally constant (standard differentiable-rendering practice).
+     side in closed form from the *differentiable* scene parameters and
+     ray.  Gradients w.r.t. vertex positions, sphere center/radius and the
+     ray flow through this step; the discrete visibility decision is
+     treated as locally constant (standard differentiable-rendering
+     practice).  Its per-lane gathers run once per bounce, not per
+     traversal step, so they are off the critical path.
 
 Mirrors the reference ray_scene_intersection_test
-(src/lib/path_tracer.cu:110-128): a linear scan over scene objects —
-unrolled statically here since object counts are small — with the winning
-object determining material_id, and later equal-t hits overwriting earlier
-ones.
+(src/lib/path_tracer.cu:110-128): objects scanned with the winner setting
+material_id and later equal-t hits overwriting earlier ones.  All hot
+arrays are (N,)-component (see core/vec.py for the TPU layout rationale).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpupt.accel.traverse import traverse_mesh, moller_trumbore
-from tpupt.core import math3d
+from tpupt.accel.packets import intersect_treelets
+from tpupt.accel.traverse import traverse_mesh
+from tpupt.core import vec
+from tpupt.core.vec import Vec3
 from tpupt.core.types import (
     Hit,
     HitIds,
@@ -42,7 +44,7 @@ from tpupt.core.types import (
 BIG_T = jnp.float32(3.0e38)
 
 
-def _sphere_candidate(scene, o: int, prim: int, ro, rd, t_min, t_bound):
+def _sphere_candidate(scene, o: int, prim: int, ro: Vec3, rd: Vec3, t_min, t_bound):
     """Object-space quadratic sphere test, replicating the reference's
     semantics (src/lib/intersections.cuh:7-41 driven by
     src/lib/path_tracer.cu:87-99):
@@ -52,17 +54,23 @@ def _sphere_candidate(scene, o: int, prim: int, ro, rd, t_min, t_bound):
         (world-unit) bounds — a reference quirk that is exact for the
         rigid transforms scenes actually use
       * winning t is re-measured in world units as |world_point - origin|
+
+    Everything is inline scalar-matrix math (no per-lane gathers): returns
+    (hit, t_w, world point, world normal, front) for the forward hit.
     """
     inv_m = scene.obj_inv_m[o]
     m = scene.obj_m[o]
-    center = scene.sphere_center[prim]
+    cx = scene.sphere_center[prim, 0]
+    cy = scene.sphere_center[prim, 1]
+    cz = scene.sphere_center[prim, 2]
     radius = scene.sphere_radius[prim]
 
-    oo, od = math3d.inverse_transform_ray(inv_m[None], ro, rd, normalize_dir=True)
-    oc = oo - center
-    a = math3d.dot(od, od)
-    b = 2.0 * math3d.dot(od, oc)
-    c = math3d.dot(oc, oc) - radius * radius
+    oo = vec.transform_point(inv_m, ro)
+    od = vec.transform_vector(inv_m, rd).normalize()
+    oc = oo - Vec3(cx, cy, cz)
+    a = od.dot(od)
+    b = 2.0 * od.dot(oc)
+    c = oc.dot(oc) - radius * radius
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = (-b - sq) / (2.0 * a)
@@ -72,91 +80,210 @@ def _sphere_candidate(scene, o: int, prim: int, ro, rd, t_min, t_bound):
     t_obj = jnp.where(use1, t1, t2)
     hit = (disc >= 0.0) & (use1 | use2)
 
-    point_obj = oo + t_obj[..., None] * od
-    point_w = math3d.transform_point(m[None], point_obj)
-    t_w = math3d.length(point_w - ro)
-    return hit, t_w
+    point_obj = oo + od * t_obj
+    point_w = vec.transform_point(m, point_obj)
+    t_w = (point_w - ro).length()
+
+    outward = (point_obj - Vec3(cx, cy, cz)) * (1.0 / radius)
+    front = od.dot(outward) < 0.0
+    normal_obj = vec.where(front, outward, -outward)
+    normal_w = vec.transform_normal(inv_m, normal_obj)
+    return hit, t_w, point_w, normal_w, front
+
+
+def _sphere_pass(scene, ro: Vec3, rd: Vec3, t_min, active, t_best, kind, obj_id, prim_id):
+    """Linear scan over sphere objects (reference object loop,
+    src/lib/path_tracer.cu:110-128), unrolled statically.  Also folds the
+    forward hit record (point/normal/front/mat) with zero gathers."""
+    n = t_best.shape[0]
+    point = Vec3.full((n,), 0.0, 0.0, 0.0)
+    normal = Vec3.full((n,), 0.0, 0.0, 0.0)
+    front = jnp.zeros((n,), bool)
+    mat = jnp.zeros((n,), jnp.int32)
+    for o, (okind, oprim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
+        if okind != OBJ_SPHERE:
+            continue
+        hit, t_w, pw, nw, fr = _sphere_candidate(
+            scene, o, oprim, ro, rd, t_min, t_best
+        )
+        take = active & hit
+        t_best = jnp.where(take, t_w, t_best)
+        kind = jnp.where(take, PRIM_SPHERE, kind)
+        obj_id = jnp.where(take, o, obj_id)
+        prim_id = jnp.where(take, oprim, prim_id)
+        point = vec.where(take, pw, point)
+        normal = vec.where(take, nw, normal)
+        front = jnp.where(take, fr, front)
+        mat = jnp.where(take, scene.obj_mat[o], mat)
+    return t_best, kind, obj_id, prim_id, point, normal, front, mat
 
 
 def intersect_scene_ids(
     scene: SceneArrays,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     t_min: jnp.ndarray,
     active: jnp.ndarray,
 ) -> tuple[HitIds, jnp.ndarray]:
-    """Discrete closest-hit pass.  All inputs are stop_gradient'ed so the
-    internal while_loops never see tangents.  Returns (ids, traversal_steps).
+    """Discrete closest-hit pass (production TPU path).
+
+    Spheres: unrolled vectorized scan.  Meshes: packet-treelet sweep
+    (accel/packets.py) over the world-baked global treelet table, seeded
+    with the sphere-pass t so treelets behind a sphere hit are skipped.
+    All inputs are stop_gradient'ed so internal while_loops never see
+    tangents.
+
+    Returns (ids, forward_hit): the forward Hit carries point / normal /
+    front / material computed with a single per-lane gather (slot -> mat);
+    the forward renderer consumes it directly, while the differentiable
+    renderer uses only ``ids`` + ``refine_hit`` (XLA dead-code-eliminates
+    whichever half is unused).
     """
     scene = lax.stop_gradient(scene)
     ro = lax.stop_gradient(ro)
     rd = lax.stop_gradient(rd)
     t_min = lax.stop_gradient(t_min)
 
-    n = ro.shape[0]
+    n = ro.x.shape[0]
     t_best = jnp.full((n,), BIG_T)
     kind = jnp.full((n,), PRIM_NONE, jnp.int32)
     obj_id = jnp.full((n,), -1, jnp.int32)
     prim_id = jnp.full((n,), -1, jnp.int32)
-    total_steps = jnp.int32(0)
 
+    t_best, kind, obj_id, prim_id, point, normal, front, mat = _sphere_pass(
+        scene, ro, rd, t_min, active, t_best, kind, obj_id, prim_id
+    )
+
+    if any(k == OBJ_MESH for k in scene.s_obj_kind):
+        t_mesh, slot, n_out = intersect_treelets(scene, ro, rd, t_min, t_best, active)
+        take = slot >= 0
+        safe = jnp.maximum(slot, 0)
+        t_best = jnp.where(take, t_mesh, t_best)
+        kind = jnp.where(take, PRIM_TRIANGLE, kind)
+        obj_id = jnp.where(take, scene.slot_obj[safe], obj_id)
+        prim_id = jnp.where(take, scene.slot_src[safe], prim_id)
+        # forward triangle hit record (reference semantics:
+        # point = ray(t), outward = normalize(cross(e1, e2)), side flip —
+        # src/lib/intersections.cuh:71-82) from in-register sweep outputs
+        outward = n_out.normalize()
+        tri_front = rd.dot(outward) < 0.0
+        tri_normal = vec.where(tri_front, outward, -outward)
+        tri_point = ro + rd * t_mesh
+        point = vec.where(take, tri_point, point)
+        normal = vec.where(take, tri_normal, normal)
+        front = jnp.where(take, tri_front, front)
+        mat = jnp.where(take, scene.slot_mat[safe], mat)
+
+    mask = kind != PRIM_NONE
+    fwd = Hit(
+        mask=mask,
+        t=jnp.where(mask, t_best, BIG_T),
+        point=point,
+        normal=normal,
+        front=front & mask,
+        mat_id=mat,
+    )
+    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), fwd
+
+
+def intersect_scene_ids_bvh(
+    scene: SceneArrays,
+    ro: Vec3,
+    rd: Vec3,
+    t_min: jnp.ndarray,
+    active: jnp.ndarray,
+) -> tuple[HitIds, jnp.ndarray]:
+    """Per-ray stackless-BVH variant (accel/traverse.py) — the semantic
+    reference for the packet path; plug into the integrator via
+    ``intersect_fn``."""
+    scene = lax.stop_gradient(scene)
+    ro = lax.stop_gradient(ro)
+    rd = lax.stop_gradient(rd)
+    t_min = lax.stop_gradient(t_min)
+
+    n = ro.x.shape[0]
+    t_best = jnp.full((n,), BIG_T)
+    kind = jnp.full((n,), PRIM_NONE, jnp.int32)
+    obj_id = jnp.full((n,), -1, jnp.int32)
+    prim_id = jnp.full((n,), -1, jnp.int32)
+
+    t_best, kind, obj_id, prim_id, *_ = _sphere_pass(
+        scene, ro, rd, t_min, active, t_best, kind, obj_id, prim_id
+    )
+
+    ro_a, rd_a = ro.to_array(), rd.to_array()
     for o, (okind, oprim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
-        if okind == OBJ_SPHERE:
-            hit, t_w = _sphere_candidate(scene, o, oprim, ro, rd, t_min, t_best)
-            take = active & hit
-            t_best = jnp.where(take, t_w, t_best)
-            kind = jnp.where(take, PRIM_SPHERE, kind)
-            obj_id = jnp.where(take, o, obj_id)
-            prim_id = jnp.where(take, oprim, prim_id)
-        else:  # OBJ_MESH
-            root = jnp.int32(scene.s_mesh_root[oprim])
-            tri_local = jnp.full((n,), -1, jnp.int32)
-            t_new, tri_local, steps = traverse_mesh(
-                scene,
-                root,
-                scene.obj_m[o],
-                scene.obj_inv_m[o],
-                ro,
-                rd,
-                t_min,
-                t_best,
-                tri_local,
-                active,
-            )
-            take = tri_local >= 0
-            t_best = jnp.where(take, t_new, t_best)
-            kind = jnp.where(take, PRIM_TRIANGLE, kind)
-            obj_id = jnp.where(take, o, obj_id)
-            prim_id = jnp.where(take, tri_local, prim_id)
-            total_steps = total_steps + steps
+        if okind != OBJ_MESH:
+            continue
+        root = jnp.int32(scene.s_mesh_root[oprim])
+        tri_local = jnp.full((n,), -1, jnp.int32)
+        t_new, tri_local, steps = traverse_mesh(
+            scene, root, scene.obj_m[o], scene.obj_inv_m[o],
+            ro_a, rd_a, t_min, t_best, tri_local, active,
+        )
+        take = tri_local >= 0
+        t_best = jnp.where(take, t_new, t_best)
+        kind = jnp.where(take, PRIM_TRIANGLE, kind)
+        obj_id = jnp.where(take, o, obj_id)
+        prim_id = jnp.where(take, tri_local, prim_id)
 
-    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), total_steps
+    # no forward hit: callers refine (this is the semantics-reference path)
+    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), None
+
+
+class _LaneMat:
+    """Per-lane 4x4 matrix as 16 component-gathered (N,) arrays.
+
+    Gathering `obj_m[idx]` directly materializes an (N, 4, 4) array whose
+    4-wide minor axis pads to the 128-lane vector width on TPU; gathering
+    each entry from a transposed (16, O) table keeps everything (N,)-shaped
+    and full-width.  Supports the `m[..., i, j]` protocol the vec transforms
+    use."""
+
+    def __init__(self, table: jnp.ndarray, idx: jnp.ndarray):
+        cols = table.reshape(-1, 16).T  # (16, O) — tiny, transposed once
+        self._e = [cols[k][idx] for k in range(16)]
+
+    def __getitem__(self, key):
+        ell, i, j = key  # (..., i, j)
+        assert ell is Ellipsis
+        return self._e[i * 4 + j]
 
 
 def refine_hit(
     scene: SceneArrays,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     t_min: jnp.ndarray,
     ids: HitIds,
 ) -> Hit:
-    """Differentiable closed-form recomputation of the winning hit."""
-    n = ro.shape[0]
+    """Differentiable closed-form recomputation of the winning hit.
+
+    Runs once per bounce; its handful of N-wide gathers (object matrices,
+    sphere params, triangle vertices) are standalone and cheap, unlike
+    per-traversal-step gathers.
+    """
+    n = ro.x.shape[0]
     mask = ids.kind != PRIM_NONE
     safe_obj = jnp.maximum(ids.obj_id, 0)
     safe_prim = jnp.maximum(ids.prim_id, 0)
-    m = scene.obj_m[safe_obj]  # (N, 4, 4)
-    inv_m = scene.obj_inv_m[safe_obj]
+    m = _LaneMat(scene.obj_m, safe_obj)
+    inv_m = _LaneMat(scene.obj_inv_m, safe_obj)
 
     # --- sphere branch -------------------------------------------------
     s_prim = jnp.where(ids.kind == PRIM_SPHERE, safe_prim, 0)
-    center = scene.sphere_center[s_prim]
+    center = Vec3(
+        scene.sphere_center[:, 0][s_prim],
+        scene.sphere_center[:, 1][s_prim],
+        scene.sphere_center[:, 2][s_prim],
+    )
     radius = scene.sphere_radius[s_prim]
-    oo, od = math3d.inverse_transform_ray(inv_m, ro, rd, normalize_dir=True)
+    oo = vec.transform_point(inv_m, ro)
+    od = vec.transform_vector(inv_m, rd).normalize()
     oc = oo - center
-    a = math3d.dot(od, od)
-    b = 2.0 * math3d.dot(od, oc)
-    c = math3d.dot(oc, oc) - radius * radius
+    a = od.dot(od)
+    b = 2.0 * od.dot(oc)
+    c = oc.dot(oc) - radius * radius
     disc = b * b - 4.0 * a * c
     sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
     t1 = (-b - sq) / (2.0 * a)
@@ -164,57 +291,69 @@ def refine_hit(
     # the ids pass chose t1 when it was in-window; t1 <= t2 always, so
     # "t1 if t1 >= t_min else t2" reproduces the same root.
     t_obj = jnp.where(t1 >= t_min, t1, t2)
-    sp_point_obj = oo + t_obj[..., None] * od
-    sp_point = math3d.transform_point(m, sp_point_obj)
-    sp_t = math3d.length(sp_point - ro)
-    sp_outward = (sp_point_obj - center) / radius[..., None]
-    sp_front = math3d.dot(od, sp_outward) < 0.0
-    sp_normal_obj = jnp.where(sp_front[..., None], sp_outward, -sp_outward)
+    sp_point_obj = oo + od * t_obj
+    sp_point = vec.transform_point(m, sp_point_obj)
+    sp_t = (sp_point - ro).length()
+    sp_outward = (sp_point_obj - center) * (1.0 / radius)
+    sp_front = od.dot(sp_outward) < 0.0
+    sp_normal_obj = vec.where(sp_front, sp_outward, -sp_outward)
     # reference transform_normal leaves the normal un-normalized
     # (src/lib/transform.hpp:60-66); unit for the rigid transforms used.
-    sp_normal = math3d.transform_normal(inv_m, sp_normal_obj)
+    sp_normal = vec.transform_normal(inv_m, sp_normal_obj)
 
     # --- triangle branch ----------------------------------------------
     t_prim = jnp.where(ids.kind == PRIM_TRIANGLE, safe_prim, 0)
-    vidx = scene.tri_idx[t_prim]  # (N, 3)
-    verts = scene.positions[vidx]  # (N, 3, 3)
-    w = math3d.transform_point(m[:, None], verts)
-    p0, p1, p2 = w[:, 0], w[:, 1], w[:, 2]
+    # component gathers keep every array (N,)-shaped (see _LaneMat note)
+    i0 = scene.tri_idx[:, 0][t_prim]
+    i1 = scene.tri_idx[:, 1][t_prim]
+    i2 = scene.tri_idx[:, 2][t_prim]
+    px, py, pz = scene.positions[:, 0], scene.positions[:, 1], scene.positions[:, 2]
+    vp0 = Vec3(px[i0], py[i0], pz[i0])
+    vp1 = Vec3(px[i1], py[i1], pz[i1])
+    vp2 = Vec3(px[i2], py[i2], pz[i2])
+    p0 = vec.transform_point(m, vp0)
+    p1 = vec.transform_point(m, vp1)
+    p2 = vec.transform_point(m, vp2)
     e1 = p1 - p0
     e2 = p2 - p0
-    h = math3d.cross(rd, e2)
-    det = math3d.dot(e1, h)
+    h = rd.cross(e2)
+    det = e1.dot(h)
     f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
     s = ro - p0
-    q = math3d.cross(s, e1)
-    tr_t = f * math3d.dot(e2, q)
-    tr_point = ro + tr_t[..., None] * rd
-    tr_outward = math3d.normalize(math3d.cross(e1, e2))
-    tr_front = math3d.dot(rd, tr_outward) < 0.0
-    tr_normal = jnp.where(tr_front[..., None], tr_outward, -tr_outward)
+    q = s.cross(e1)
+    tr_t = f * e2.dot(q)
+    tr_point = ro + rd * tr_t
+    tr_outward = e1.cross(e2).normalize()
+    tr_front = rd.dot(tr_outward) < 0.0
+    tr_normal = vec.where(tr_front, tr_outward, -tr_outward)
 
     # --- select --------------------------------------------------------
-    is_tri = (ids.kind == PRIM_TRIANGLE)[..., None]
-    point = jnp.where(is_tri, tr_point, sp_point)
-    normal = jnp.where(is_tri, tr_normal, sp_normal)
-    t = jnp.where(ids.kind == PRIM_TRIANGLE, tr_t, sp_t)
-    front = jnp.where(ids.kind == PRIM_TRIANGLE, tr_front, sp_front)
+    is_tri = ids.kind == PRIM_TRIANGLE
+    point = vec.where(is_tri, tr_point, sp_point)
+    normal = vec.where(is_tri, tr_normal, sp_normal)
+    t = jnp.where(is_tri, tr_t, sp_t)
+    front = jnp.where(is_tri, tr_front, sp_front)
     mat_id = scene.obj_mat[safe_obj]
 
-    zero3 = jnp.zeros((n, 3))
+    zero = Vec3.full((n,), 0.0, 0.0, 0.0)
     return Hit(
         mask=mask,
         t=jnp.where(mask, t, BIG_T),
-        point=jnp.where(mask[..., None], point, zero3),
-        normal=jnp.where(mask[..., None], normal, zero3),
+        point=vec.where(mask, point, zero),
+        normal=vec.where(mask, normal, zero),
         front=front & mask,
         mat_id=jnp.where(mask, mat_id, 0),
     )
 
 
-def background_color(scene: SceneArrays, rd: jnp.ndarray) -> jnp.ndarray:
+def background_color(scene: SceneArrays, rd: Vec3) -> Vec3:
     """Sky gradient (reference get_background_color,
     src/lib/path_tracer.cu:29-34) with differentiable endpoints."""
-    unit = math3d.normalize(rd)
-    t = 0.5 * (unit[..., 1] + 1.0)
-    return scene.bg_down[None] + t[..., None] * (scene.bg_up - scene.bg_down)[None]
+    unit = rd.normalize()
+    t = 0.5 * (unit.y + 1.0)
+    down, up = scene.bg_down, scene.bg_up
+    return Vec3(
+        down[0] + t * (up[0] - down[0]),
+        down[1] + t * (up[1] - down[1]),
+        down[2] + t * (up[2] - down[2]),
+    )

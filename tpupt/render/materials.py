@@ -1,4 +1,4 @@
-"""Branch-free vectorized BSDF evaluation.
+"""Branch-free vectorized BSDF evaluation (component-SoA).
 
 Replicates the reference's evaluate_material
 (src/lib/path_tracer.cu:138-201) — 3 BSDFs dispatched on a material tag —
@@ -24,12 +24,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from tpupt.core import math3d
+from tpupt.core import vec
+from tpupt.core.vec import Vec3
 from tpupt.core.types import MAT_DIELECTRIC, MAT_DIFFUSE, MAT_METAL, SceneArrays, Hit
 from tpupt.sampling.rng import bounce_counter, uniform
 from tpupt.sampling.sphere import random_in_unit_sphere
-
-T_MAX = jnp.float32(3.4e38)
 
 
 def _schlick(cosine, ref_idx):
@@ -43,10 +42,10 @@ def _schlick(cosine, ref_idx):
 def shade(
     scene: SceneArrays,
     hit: Hit,
-    ro: jnp.ndarray,
-    rd: jnp.ndarray,
+    ro: Vec3,
+    rd: Vec3,
     t_min: jnp.ndarray,
-    throughput: jnp.ndarray,
+    throughput: Vec3,
     seed: jnp.ndarray,
     bounce,
 ):
@@ -56,7 +55,12 @@ def shade(
     """
     mats = scene.materials
     mtype = mats.mat_type[hit.mat_id]
-    albedo = mats.albedo[hit.mat_id]
+    # column-first gathers keep everything (N,)-shaped (core/vec.py note)
+    albedo = Vec3(
+        mats.albedo[:, 0][hit.mat_id],
+        mats.albedo[:, 1][hit.mat_id],
+        mats.albedo[:, 2][hit.mat_id],
+    )
     fuzz = mats.fuzz[hit.mat_id]
     ior = mats.ior[hit.mat_id]
     n = hit.normal
@@ -65,52 +69,52 @@ def shade(
     u_fresnel = uniform(seed, bounce_counter(bounce, 2))
 
     # shared offset origin (diffuse / metal)
-    off = hit.point - 1e-4 * jnp.sign(math3d.dot(rd, n))[..., None] * n
+    off = hit.point - n * (1e-4 * jnp.sign(rd.dot(n)))
 
     # --- diffuse -------------------------------------------------------
-    d_diff = math3d.normalize(n + sphere_s)
-    degenerate = jnp.all(jnp.abs(n + sphere_s) < 1e-8, axis=-1)
-    d_diff = jnp.where(degenerate[..., None], n, d_diff)
+    d_sum = n + sphere_s
+    d_diff = d_sum.normalize()
+    degenerate = (
+        (jnp.abs(d_sum.x) < 1e-8) & (jnp.abs(d_sum.y) < 1e-8) & (jnp.abs(d_sum.z) < 1e-8)
+    )
+    d_diff = vec.where(degenerate, n, d_diff)
 
     # --- metal ---------------------------------------------------------
-    d_metal = math3d.reflect(rd, n) + fuzz[..., None] * sphere_s
-    metal_ok = math3d.dot(d_metal, n) > 0.0
-    metal_mult = jnp.where(metal_ok[..., None], albedo, jnp.zeros_like(albedo))
+    d_metal = vec.reflect(rd, n) + sphere_s * fuzz
+    metal_ok = d_metal.dot(n) > 0.0
+    zero = Vec3(jnp.zeros_like(fuzz), jnp.zeros_like(fuzz), jnp.zeros_like(fuzz))
+    metal_mult = vec.where(metal_ok, albedo, zero)
 
     # --- dielectric ----------------------------------------------------
     ratio = jnp.where(hit.front, 1.0 / ior, ior)
-    unit_d = math3d.normalize(rd)
-    cos_theta = jnp.minimum(math3d.dot(-unit_d, n), 1.0)
+    unit_d = rd.normalize()
+    cos_theta = jnp.minimum((-unit_d).dot(n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 1e-12))
     cannot_refract = ratio * sin_theta > 1.0
     choose_reflect = cannot_refract | (_schlick(cos_theta, ratio) > u_fresnel)
-    d_diel = jnp.where(
-        choose_reflect[..., None],
-        math3d.reflect(unit_d, n),
-        math3d.refract(unit_d, n, ratio),
+    d_diel = vec.where(
+        choose_reflect, vec.reflect(unit_d, n), vec.refract(unit_d, n, ratio)
     )
 
     # --- select by material type --------------------------------------
-    is_diff = (mtype == MAT_DIFFUSE)[..., None]
-    is_metal = (mtype == MAT_METAL)[..., None]
-    is_diel = (mtype == MAT_DIELECTRIC)[..., None]
+    is_diff = mtype == MAT_DIFFUSE
+    is_metal = mtype == MAT_METAL
+    is_diel = mtype == MAT_DIELECTRIC
 
-    new_rd = jnp.where(is_diff, d_diff, jnp.where(is_metal, d_metal, d_diel))
-    new_ro = jnp.where(is_diel, hit.point, off)
-    new_t_min = jnp.where(is_diel[..., 0], jnp.float32(1e-5), t_min)
-    mult = jnp.where(
-        is_diff, albedo, jnp.where(is_metal, metal_mult, jnp.ones_like(albedo))
-    )
+    new_rd = vec.where(is_diff, d_diff, vec.where(is_metal, d_metal, d_diel))
+    new_ro = vec.where(is_diel, hit.point, off)
+    new_t_min = jnp.where(is_diel, jnp.float32(1e-5), t_min)
+    one = Vec3(jnp.ones_like(fuzz), jnp.ones_like(fuzz), jnp.ones_like(fuzz))
+    mult = vec.where(is_diff, albedo, vec.where(is_metal, metal_mult, one))
     new_throughput = throughput * mult
     return new_ro, new_rd, new_t_min, new_throughput
 
 
-def russian_roulette(throughput, alive, seed, bounce):
+def russian_roulette(throughput: Vec3, alive, seed, bounce):
     """Optional RR termination (extension).  Returns (throughput, alive)."""
     u = uniform(seed, bounce_counter(bounce, 3))
-    p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+    p = jnp.clip(throughput.max_component(), 0.05, 0.95)
     survive = u < p
-    throughput = jnp.where(
-        survive[..., None], throughput / p[..., None], throughput
-    )
-    return throughput, alive & survive
+    inv_p = 1.0 / p
+    tp = vec.where(survive, throughput * inv_p, throughput)
+    return tp, alive & survive

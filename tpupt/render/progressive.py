@@ -28,8 +28,15 @@ class PathTracer:
         resolution: tuple[int, int],
         max_bounces: int = MAX_BOUNCES_DEFAULT,
         rr_start: int | None = None,
+        method: str = "megakernel",
     ):
+        """``method``: "megakernel" (masked bounce loop) or "streaming"
+        (wavefront with on-device compaction) — the reference's GPUMethod
+        knob (src/lib/path_tracer.hpp:57-64)."""
+        if method not in ("megakernel", "streaming"):
+            raise ValueError(f"unknown method {method!r}")
         self.scene = scene
+        self.method = method
         self.max_bounces = max_bounces
         self.rr_start = rr_start
         self.max_iterations = 2_000_000  # reference default-ish cap (gui knob)
@@ -45,10 +52,18 @@ class PathTracer:
 
         @partial(jax.jit, static_argnums=(3, 4))
         def _step(scene, camera, buffers, width, height):
-            color, normal, depth, rays = trace_sample(
-                scene, camera, width, height, buffers.iteration,
-                max_bounces=self.max_bounces, rr_start=self.rr_start,
-            )
+            if self.method == "streaming":
+                from tpupt.render.wavefront import trace_sample_wavefront
+
+                color, normal, depth, rays = trace_sample_wavefront(
+                    scene, camera, width, height, buffers.iteration,
+                    max_bounces=self.max_bounces, rr_start=self.rr_start,
+                )
+            else:
+                color, normal, depth, rays = trace_sample(
+                    scene, camera, width, height, buffers.iteration,
+                    max_bounces=self.max_bounces, rr_start=self.rr_start,
+                )
             return accumulate(buffers, color, normal, depth), rays
 
         self._step = _step

@@ -1,0 +1,82 @@
+"""Generated stand-in model assets.
+
+The reference's OBJ models are git-LFS pointers only (SURVEY.md §2.4), so
+the shipped scene JSONs reference procedurally generated meshes that this
+module writes on demand.  Call `ensure_models()` before loading any scene
+that references ../models/*.obj.
+"""
+
+from __future__ import annotations
+
+import os
+
+from tpupt.scene import procedural
+
+
+def _gen_bunny():
+    return procedural.bunny_substitute()  # 5120 tris, bunny-scale
+
+
+def _gen_ajax():
+    # "bust"-scale stand-in: tall dense blob (~20k tris like a decimated scan)
+    import numpy as np
+
+    v, f = procedural.icosphere(4, 1.0)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    bump = 1.0 + 0.18 * np.sin(6 * x) * np.sin(5 * z) + 0.1 * np.cos(7 * y)
+    v = v * bump[:, None]
+    v[:, 1] = v[:, 1] * 2.2 + 2.2  # tall, sitting on y≈0 like the ajax bust
+    return v.astype(np.float32), f
+
+
+def _gen_blob():
+    import numpy as np
+
+    v, f = procedural.icosphere(3, 0.5)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    v = v * (1.0 + 0.2 * np.sin(5 * x + 2 * y) * np.cos(4 * z))[:, None]
+    return v.astype(np.float32), f
+
+
+def _gen_knot():
+    return procedural.torus_knot(radius=0.9, tube=0.16)
+
+
+_GENERATORS = {
+    "bunny.obj": _gen_bunny,
+    "ajax.obj": _gen_ajax,
+    "blob.obj": _gen_blob,
+    "knot.obj": _gen_knot,
+}
+
+
+def default_models_dir() -> str:
+    return os.path.join(locate_asset_path(), "models")
+
+
+def locate_asset_path(start: str | None = None) -> str:
+    """Walk up from CWD looking for an assets/ dir (reference
+    locate_asset_path, src/lib/assets/assets.cpp:6-23), falling back to the
+    repo's own assets directory."""
+    d = os.path.abspath(start or os.getcwd())
+    while True:
+        cand = os.path.join(d, "assets")
+        if os.path.isdir(cand):
+            return cand
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets")
+
+
+def ensure_models(models_dir: str | None = None) -> str:
+    """Write any missing generated .obj models; returns the models dir."""
+    models_dir = models_dir or default_models_dir()
+    os.makedirs(models_dir, exist_ok=True)
+    for name, gen in _GENERATORS.items():
+        path = os.path.join(models_dir, name)
+        if not os.path.exists(path):
+            v, f = gen()
+            procedural.write_obj(path, v, f)
+    return models_dir

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpupt.accel.bvh import build_bvh
+from tpupt.accel.treelets import build_treelets
 from tpupt.core.camera import make_camera
 from tpupt.core.types import (
     Camera,
@@ -130,9 +131,10 @@ class SceneDescription:
         return len(self._objects)
 
     # --- build ---------------------------------------------------------
-    def build(self) -> SceneArrays:
+    def build(self, leaf_size: int = 64) -> SceneArrays:
         """Bake to flat device arrays (reference build_scene,
-        src/lib/scene_description.cpp:12-117)."""
+        src/lib/scene_description.cpp:12-117) + the world-space treelet
+        table for the TPU packet intersector (accel/treelets.py)."""
         mat_index = {n: i for i, n in enumerate(self._material_order)}
         mesh_index = {n: i for i, n in enumerate(self._mesh_order)}
 
@@ -231,6 +233,21 @@ class SceneDescription:
             obj_bmin.append(np.zeros(3))
             obj_bmax.append(np.zeros(3))
 
+        # world-space treelet table over all mesh instances
+        mesh_data = [
+            (self._meshes[name].positions, self._meshes[name].tris)
+            for name in self._mesh_order
+        ] or [(np.full((3, 3), 1e9, np.float32), np.array([[0, 1, 2]], np.int32))]
+        instances = [
+            (mesh_index[key], transform, o)
+            for o, (kind, key, transform, _mat) in enumerate(self._objects)
+            if kind == "mesh"
+        ]
+        tri_offsets = [r[0] for r in mesh_tri_ranges] or [0]
+        treelets = build_treelets(
+            mesh_data, instances, leaf_size=leaf_size, tri_id_offsets=tri_offsets
+        )
+
         f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
         i32 = lambda x: jnp.asarray(np.asarray(x), jnp.int32)
 
@@ -248,6 +265,15 @@ class SceneDescription:
             node_max=f32(np.concatenate(all_nmax)),
             node_tri=i32(np.concatenate(all_ntri)),
             node_skip=i32(np.concatenate(all_nskip)),
+            tre_min=f32(treelets.tre_min),
+            tre_max=f32(treelets.tre_max),
+            tre_tris=f32(treelets.tre_tris),
+            slot_src=i32(treelets.slot_src),
+            slot_obj=i32(treelets.slot_obj),
+            slot_mat=i32(
+                np.asarray(obj_mat)[np.maximum(treelets.slot_obj, 0)]
+                * (treelets.slot_obj >= 0)
+            ),
             materials=Materials(
                 mat_type=i32(mtypes),
                 albedo=f32(albedos),
@@ -260,4 +286,5 @@ class SceneDescription:
             s_obj_prim=tuple(obj_prim),
             s_mesh_root=tuple(mesh_roots) if mesh_roots else (0,),
             s_mesh_tri_range=tuple(mesh_tri_ranges) if mesh_tri_ranges else ((0, 1),),
+            s_leaf_size=leaf_size,
         )

@@ -13,7 +13,24 @@ import numpy as np
 
 
 def load_obj(path: str):
-    """Returns (positions (V,3) f32, tris (T,3) i32)."""
+    """Returns (positions (V,3) f32, tris (T,3) i32).
+
+    Uses the native parser (tpupt/native/obj_loader.cpp) when built; this
+    python implementation is the fallback and the semantic spec."""
+    try:
+        from tpupt import native
+
+        result = native.load_obj_native(path)
+        if result is not None:
+            return result
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path: str):
     positions: list = []
     tris: list = []
     with open(path, "r") as fh:

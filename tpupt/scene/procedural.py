@@ -103,6 +103,43 @@ def quad(size=1.0):
     return v, f
 
 
+def torus_knot(p: int = 2, q: int = 3, segments: int = 200, sides: int = 16,
+               radius: float = 1.0, tube: float = 0.18):
+    """(p,q) torus-knot tube mesh: 2 * segments * sides triangles."""
+    t = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    r = np.cos(q * t) + 2.0
+    center = np.stack(
+        [r * np.cos(p * t), r * np.sin(p * t), -np.sin(q * t)], axis=1
+    ) * (radius / 3.0)
+    # frames via finite differences
+    nxt = np.roll(center, -1, axis=0)
+    tang = nxt - center
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    ref = np.array([0.0, 0.0, 1.0])
+    n1 = np.cross(tang, ref)
+    bad = np.linalg.norm(n1, axis=1) < 1e-6
+    n1[bad] = np.cross(tang[bad], np.array([0.0, 1.0, 0.0]))
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    n2 = np.cross(tang, n1)
+
+    theta = np.linspace(0.0, 2.0 * np.pi, sides, endpoint=False)
+    ring = (
+        np.cos(theta)[None, :, None] * n1[:, None, :]
+        + np.sin(theta)[None, :, None] * n2[:, None, :]
+    )
+    verts = (center[:, None, :] + tube * ring).reshape(-1, 3)
+
+    faces = []
+    for i in range(segments):
+        for j in range(sides):
+            a = i * sides + j
+            b = i * sides + (j + 1) % sides
+            c = ((i + 1) % segments) * sides + j
+            d = ((i + 1) % segments) * sides + (j + 1) % sides
+            faces += [[a, c, b], [b, c, d]]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
 def write_obj(path: str, positions: np.ndarray, tris: np.ndarray) -> None:
     """Minimal OBJ writer for generated assets."""
     with open(path, "w") as fh:
