@@ -39,6 +39,28 @@ from tpupt.render.materials import russian_roulette, shade
 from tpupt.sampling.rng import jitter_counters, pixel_seed, uniform
 
 MAX_BOUNCES_DEFAULT = 50  # reference max_bounces, src/lib/path_tracer.cu:27
+# Pixel tile edge for packet swizzling.  Measured on v5e with the bunny
+# scene: 16x16 tiles were ~20% SLOWER than row-major 256x1 strips (the
+# strip is already a coherent beam, and the unswizzle scatter costs
+# ~7 ms/Mray) — so swizzling is disabled; the hook stays for scenes where
+# the tradeoff differs.
+TILE = 1
+
+
+def _tile_swizzle(width: int, rows: int, tile: int = TILE):
+    """Map lane index -> band-local pixel index so that each 256-ray packet
+    covers a square tile x tile pixel block instead of a scanline strip.
+    Returns None when disabled or when the band doesn't tile evenly
+    (callers fall back to row-major)."""
+    if tile <= 1 or width % tile or rows % tile:
+        return None
+    idx = jnp.arange(width * rows, dtype=jnp.int32)
+    per_tile = tile * tile
+    tiles_per_row = width // tile
+    tid, k = idx // per_tile, idx % per_tile
+    ty, tx = tid // tiles_per_row, tid % tiles_per_row
+    iy, ix = k // tile, k % tile
+    return (ty * tile + iy) * width + (tx * tile + ix)
 
 
 def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
@@ -52,9 +74,9 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
     """
     rows = height if rows is None else rows
     n = width * rows
-    pix = jnp.asarray(row0, jnp.uint32) * jnp.uint32(width) + jnp.arange(
-        n, dtype=jnp.uint32
-    )
+    local = _tile_swizzle(width, rows)  # None => row-major, no unswizzle
+    lin = local if local is not None else jnp.arange(n, dtype=jnp.int32)
+    pix = jnp.asarray(row0, jnp.uint32) * jnp.uint32(width) + lin.astype(jnp.uint32)
     seed = pixel_seed(pix, iteration)
     c0, c1 = jitter_counters()
     fx = (pix % jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c0)
@@ -74,7 +96,7 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
         depth=zf + jnp.float32(1e6),
         rays=(pix[0] * jnp.uint32(0)).astype(jnp.int32),
     )
-    return state, seed
+    return state, seed, local
 
 
 def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine):
@@ -159,7 +181,7 @@ def trace_sample(
     (tpupt/cpu_ref) shares this exact integrator — only the accelerator
     differs, which is what makes allclose tests meaningful.
     """
-    state, seed = _init_paths(scene, camera, width, height, iteration, row0, rows)
+    state, seed, local = _init_paths(scene, camera, width, height, iteration, row0, rows)
 
     if not differentiable:
 
@@ -187,13 +209,16 @@ def trace_sample(
 
         state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
 
-    # boundary representation: (N, 3) arrays for buffers/images
-    return (
-        state["color"].to_array(),
-        state["normal"].to_array(),
-        state["depth"],
-        state["rays"],
-    )
+    # boundary representation: (N, 3) arrays in pixel order — scatter out
+    # of the tile-swizzled processing order (once per sample)
+    color = state["color"].to_array()
+    normal = state["normal"].to_array()
+    depth = state["depth"]
+    if local is not None:
+        color = jnp.zeros_like(color).at[local].set(color)
+        normal = jnp.zeros_like(normal).at[local].set(normal)
+        depth = jnp.zeros_like(depth).at[local].set(depth)
+    return color, normal, depth, state["rays"]
 
 
 def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
