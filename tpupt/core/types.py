@@ -25,6 +25,9 @@ OBJ_MESH = 1
 MAT_DIFFUSE = 0
 MAT_METAL = 1
 MAT_DIELECTRIC = 2
+# Extension: emissive area lights (the reference's only light is the sky
+# background; a closed Cornell box needs a lamp).
+MAT_EMISSIVE = 3
 
 # Primitive-kind tags used in hit records.
 PRIM_NONE = -1
@@ -55,10 +58,11 @@ class Materials:
     branch-free vectorized shading.
     """
 
-    mat_type: jnp.ndarray  # (M,) i32 in {MAT_DIFFUSE, MAT_METAL, MAT_DIELECTRIC}
+    mat_type: jnp.ndarray  # (M,) i32 in {MAT_DIFFUSE, ..., MAT_EMISSIVE}
     albedo: jnp.ndarray  # (M, 3) f32 — diffuse / metal albedo
     fuzz: jnp.ndarray  # (M,) f32 — metal fuzz
     ior: jnp.ndarray  # (M,) f32 — dielectric refraction index
+    emission: jnp.ndarray  # (M, 3) f32 — emissive radiance (lights)
 
 
 @struct.dataclass

@@ -86,10 +86,16 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
     # type under shard_map (row0 is the per-tile varying input)
     zf = (pix * jnp.uint32(0)).astype(jnp.float32)
     ones = zf + 1.0
+    zero3 = Vec3(zf, zf, zf)
     state = dict(
         ro=ro,
         rd=rd,
         t_min=zf + jnp.float32(cam.T_MIN_PRIMARY),
+        # path radiance estimator: radiance accumulates (throughput x
+        # emission|background) additively; `color` is the running
+        # throughput product (the reference's multiplicative-only model
+        # is the special case with no emitters, path_tracer.cu:252-268)
+        radiance=zero3,
         color=Vec3(ones, ones, ones),
         alive=zf == 0.0,
         normal=-rd,
@@ -119,43 +125,42 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
     hit_alive = alive & hit.mask
     miss = alive & ~hit.mask
 
-    color = vec.where(
+    # background light on miss (reference: color *= bg, path_tracer.cu:255)
+    radiance = vec.where(
         miss,
-        state["color"] * background_color(scene, state["rd"]),
-        state["color"],
+        state["radiance"] + state["color"] * background_color(scene, state["rd"]),
+        state["radiance"],
     )
 
     first = jnp.equal(bounce, 0)
     normal = vec.where(first & hit.mask, hit.normal, state["normal"])
     depth = jnp.where(first & hit.mask, hit.t, state["depth"])
 
-    new_ro, new_rd, new_t_min, new_color = shade(
-        scene, hit, state["ro"], state["rd"], state["t_min"], color, seed, bounce
+    new_ro, new_rd, new_t_min, new_color, emitted, absorb = shade(
+        scene, hit, state["ro"], state["rd"], state["t_min"], state["color"], seed, bounce
+    )
+    # emissive surfaces add (throughput x emission) and absorb the path
+    radiance = vec.where(
+        hit_alive, radiance + state["color"] * emitted, radiance
     )
     out = dict(
         ro=vec.where(hit_alive, new_ro, state["ro"]),
         rd=vec.where(hit_alive, new_rd, state["rd"]),
         t_min=jnp.where(hit_alive, new_t_min, state["t_min"]),
-        color=vec.where(hit_alive, new_color, color),
-        alive=hit_alive,
+        radiance=radiance,
+        color=vec.where(hit_alive, new_color, state["color"]),
+        alive=hit_alive & ~absorb,
         normal=normal,
         depth=depth,
         rays=rays,
     )
     if rr_start is not None:
         # Unbiased RR: survivors divide throughput by the survival
-        # probability; killed lanes have collected no emission yet (the only
-        # light is the background) so they contribute zero.
+        # probability; killed lanes keep only the radiance collected so far.
         tp, al = russian_roulette(out["color"], out["alive"], seed, bounce)
         apply = bounce >= rr_start
-        was_alive = out["alive"]
-        killed = apply & was_alive & ~al
-        survived = apply & al
-        zero = Vec3.full(killed.shape, 0.0, 0.0, 0.0)
-        color_rr = vec.where(survived, tp, out["color"])
-        color_rr = vec.where(killed, zero, color_rr)
-        out["color"] = color_rr
-        out["alive"] = jnp.where(apply, al, was_alive)
+        out["color"] = vec.where(apply & al, tp, out["color"])
+        out["alive"] = jnp.where(apply, al, out["alive"])
     return out
 
 
@@ -209,9 +214,16 @@ def trace_sample(
 
         state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
 
+    # final pixel estimate: collected radiance, plus the raw throughput for
+    # paths still alive at the bounce cap (the reference's exhausted-path
+    # behavior, path_tracer.cu:252-268 loop end)
+    final = vec.where(
+        state["alive"], state["radiance"] + state["color"], state["radiance"]
+    )
+
     # boundary representation: (N, 3) arrays in pixel order — scatter out
     # of the tile-swizzled processing order (once per sample)
-    color = state["color"].to_array()
+    color = final.to_array()
     normal = state["normal"].to_array()
     depth = state["depth"]
     if local is not None:

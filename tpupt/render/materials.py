@@ -26,7 +26,14 @@ import jax.numpy as jnp
 
 from tpupt.core import vec
 from tpupt.core.vec import Vec3
-from tpupt.core.types import MAT_DIELECTRIC, MAT_DIFFUSE, MAT_METAL, SceneArrays, Hit
+from tpupt.core.types import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE,
+    MAT_EMISSIVE,
+    MAT_METAL,
+    SceneArrays,
+    Hit,
+)
 from tpupt.sampling.rng import bounce_counter, uniform
 from tpupt.sampling.sphere import random_in_unit_sphere
 
@@ -50,8 +57,11 @@ def shade(
     bounce,
 ):
     """One scatter event for every lane.  Returns
-    (new_ro, new_rd, new_t_min, new_throughput).  Callers mask the result
-    by hit.mask; lanes that missed get garbage here (cheap, ignored).
+    (new_ro, new_rd, new_t_min, new_throughput, emitted, terminate):
+    ``emitted`` is the radiance the hit surface emits toward the path
+    (zero except for MAT_EMISSIVE), ``terminate`` marks lanes whose
+    material absorbs the path (emissive lights don't scatter).  Callers
+    mask by hit.mask; lanes that missed get garbage here (cheap, ignored).
     """
     mats = scene.materials
     mtype = mats.mat_type[hit.mat_id]
@@ -101,13 +111,23 @@ def shade(
     is_metal = mtype == MAT_METAL
     is_diel = mtype == MAT_DIELECTRIC
 
+    is_emis = mtype == MAT_EMISSIVE
+
     new_rd = vec.where(is_diff, d_diff, vec.where(is_metal, d_metal, d_diel))
     new_ro = vec.where(is_diel, hit.point, off)
     new_t_min = jnp.where(is_diel, jnp.float32(1e-5), t_min)
     one = Vec3(jnp.ones_like(fuzz), jnp.ones_like(fuzz), jnp.ones_like(fuzz))
     mult = vec.where(is_diff, albedo, vec.where(is_metal, metal_mult, one))
     new_throughput = throughput * mult
-    return new_ro, new_rd, new_t_min, new_throughput
+
+    emitted = Vec3(
+        mats.emission[:, 0][hit.mat_id],
+        mats.emission[:, 1][hit.mat_id],
+        mats.emission[:, 2][hit.mat_id],
+    )
+    zero3 = Vec3(jnp.zeros_like(fuzz), jnp.zeros_like(fuzz), jnp.zeros_like(fuzz))
+    emitted = vec.where(is_emis, emitted, zero3)
+    return new_ro, new_rd, new_t_min, new_throughput, emitted, is_emis
 
 
 def russian_roulette(throughput: Vec3, alive, seed, bounce):

@@ -67,6 +67,7 @@ def trace_sample_wavefront(
         ro=ro,
         rd=rd,
         t_min=jnp.full((n,), jnp.float32(cam.T_MIN_PRIMARY)),
+        radiance=Vec3.full((n,), 0.0, 0.0, 0.0),
         color=Vec3.full((n,), 1.0, 1.0, 1.0),
         alive=jnp.ones((n,), bool),
         normal=-rd,
@@ -91,34 +92,34 @@ def trace_sample_wavefront(
 
         hit_alive = active & hit.mask
         miss = active & ~hit.mask
-        color = vec.where(
-            miss, st["color"] * background_color(scene, st["rd"]), st["color"]
+        radiance = vec.where(
+            miss,
+            st["radiance"] + st["color"] * background_color(scene, st["rd"]),
+            st["radiance"],
         )
         first = jnp.equal(b, 0)
         normal = vec.where(first & hit.mask, hit.normal, st["normal"])
         depth = jnp.where(first & hit.mask, hit.t, st["depth"])
 
-        new_ro, new_rd, new_t_min, new_color = shade(
-            scene, hit, st["ro"], st["rd"], st["t_min"], color, seed, b
+        new_ro, new_rd, new_t_min, new_color, emitted, absorb = shade(
+            scene, hit, st["ro"], st["rd"], st["t_min"], st["color"], seed, b
         )
+        radiance = vec.where(hit_alive, radiance + st["color"] * emitted, radiance)
         st = dict(
             pixel=st["pixel"],
             ro=vec.where(hit_alive, new_ro, st["ro"]),
             rd=vec.where(hit_alive, new_rd, st["rd"]),
             t_min=jnp.where(hit_alive, new_t_min, st["t_min"]),
-            color=vec.where(hit_alive, new_color, color),
-            alive=hit_alive,
+            radiance=radiance,
+            color=vec.where(hit_alive, new_color, st["color"]),
+            alive=hit_alive & ~absorb,
             normal=normal,
             depth=depth,
         )
         if rr_start is not None:
             tp, al = russian_roulette(st["color"], st["alive"], seed, b)
             apply = b >= rr_start
-            killed = apply & st["alive"] & ~al
-            survived = apply & al
-            zero = Vec3.full(killed.shape, 0.0, 0.0, 0.0)
-            c = vec.where(survived, tp, st["color"])
-            st["color"] = vec.where(killed, zero, c)
+            st["color"] = vec.where(apply & al, tp, st["color"])
             st["alive"] = jnp.where(apply, al, st["alive"])
 
         # --- compaction: stable-partition live lanes to the front --------
@@ -133,9 +134,12 @@ def trace_sample_wavefront(
         cond, body, (jnp.int32(0), jnp.int32(n), state, jnp.int32(0))
     )
 
+    final = vec.where(
+        state["alive"], state["radiance"] + state["color"], state["radiance"]
+    )
     # final gather: scatter by pixel index (reference final_gathering_kernel,
     # src/lib/path_tracer.cu:317-330); boundary rep is (N, 3)
-    color = jnp.zeros((n, 3)).at[state["pixel"]].set(state["color"].to_array())
+    color = jnp.zeros((n, 3)).at[state["pixel"]].set(final.to_array())
     normal = jnp.zeros((n, 3)).at[state["pixel"]].set(state["normal"].to_array())
     depth = jnp.zeros((n,)).at[state["pixel"]].set(state["depth"])
     return color, normal, depth, rays

@@ -32,6 +32,7 @@ from tpupt.core.types import (
     OBJ_SPHERE,
     MAT_DIELECTRIC,
     MAT_DIFFUSE,
+    MAT_EMISSIVE,
     MAT_METAL,
     SceneArrays,
 )
@@ -92,9 +93,11 @@ class SceneDescription:
 
     # --- materials -----------------------------------------------------
     def add_material(self, name: str, mtype: str, **params) -> None:
+        """lambertian / metal / dielectric (reference json_parser.cpp:101-122)
+        plus diffuse_light (emissive extension)."""
         if name in self._materials:
             raise ValueError(f"duplicate material {name!r}")
-        if mtype not in ("lambertian", "metal", "dielectric"):
+        if mtype not in ("lambertian", "metal", "dielectric", "diffuse_light"):
             raise ValueError(f"unsupported material type {mtype!r}")
         self._materials[name] = (mtype, params)
         self._material_order.append(name)
@@ -139,9 +142,10 @@ class SceneDescription:
         mesh_index = {n: i for i, n in enumerate(self._mesh_order)}
 
         # material SoA
-        mtypes, albedos, fuzzes, iors = [], [], [], []
+        mtypes, albedos, fuzzes, iors, emissions = [], [], [], [], []
         for name in self._material_order:
             mtype, p = self._materials[name]
+            emissions.append(p.get("emit", (0.0, 0.0, 0.0)))
             if mtype == "lambertian":
                 mtypes.append(MAT_DIFFUSE)
                 albedos.append(p["albedo"])
@@ -152,13 +156,20 @@ class SceneDescription:
                 albedos.append(p["albedo"])
                 fuzzes.append(p.get("fuzz", 0.0))
                 iors.append(1.0)
-            else:  # dielectric
+            elif mtype == "dielectric":
                 mtypes.append(MAT_DIELECTRIC)
                 albedos.append((1.0, 1.0, 1.0))
                 fuzzes.append(0.0)
                 iors.append(p["refraction_index"])
+            else:  # diffuse_light
+                mtypes.append(MAT_EMISSIVE)
+                albedos.append((0.0, 0.0, 0.0))
+                fuzzes.append(0.0)
+                iors.append(1.0)
         if not mtypes:  # keep pools non-empty for safe gathers
-            mtypes, albedos, fuzzes, iors = [MAT_DIFFUSE], [(0.5,) * 3], [0.0], [1.0]
+            mtypes, albedos, fuzzes, iors, emissions = (
+                [MAT_DIFFUSE], [(0.5,) * 3], [0.0], [1.0], [(0.0,) * 3]
+            )
 
         # mesh pool: concatenate vertices/triangles/BVHs with offsets
         all_pos, all_tris = [], []
@@ -279,6 +290,7 @@ class SceneDescription:
                 albedo=f32(albedos),
                 fuzz=f32(fuzzes),
                 ior=f32(iors),
+                emission=f32(emissions),
             ),
             bg_down=f32(self.bg_down),
             bg_up=f32(self.bg_up),

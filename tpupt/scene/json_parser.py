@@ -85,6 +85,8 @@ def scene_from_json(
             desc.add_material(name, "dielectric", refraction_index=float(m["refraction_index"]))
         elif mtype == "metal":
             desc.add_material(name, "metal", albedo=tuple(m["albedo"]), fuzz=float(m["fuzz"]))
+        elif mtype == "diffuse_light":  # emissive extension (not in the reference)
+            desc.add_material(name, "diffuse_light", emit=tuple(m["emit"]))
         else:
             raise ValueError(f"Unsupported material type {mtype}")
 
