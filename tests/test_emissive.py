@@ -51,6 +51,28 @@ def test_emissive_agrees_across_integrators():
     )
 
 
+def test_nee_unbiased_and_lower_variance():
+    """Next-event estimation agrees with brute path tracing in expectation
+    and cuts variance dramatically (BASELINE north star: NEE)."""
+    scene = _lamp_scene()
+    assert scene.s_light_objs  # the lamp was detected as an NEE light
+    cam = make_camera(vfov=np.pi / 2)
+    W = H = 32
+    spp = 48
+    buf, _ = render_image(scene, cam, W, H, spp, max_bounces=12)
+    img_nee = np.asarray(buf.color).reshape(H, W, 3)
+    # disabling the light list turns NEE off -> brute path tracing
+    buf2, _ = render_image(scene.replace(s_light_objs=()), cam, W, H, spp, max_bounces=12)
+    img_off = np.asarray(buf2.color).reshape(H, W, 3)
+
+    floor_nee = img_nee[26:, :, 0]
+    floor_off = img_off[26:, :, 0]
+    assert abs(floor_nee.mean() / floor_off.mean() - 1.0) < 0.1
+    assert floor_nee.std() < 0.5 * floor_off.std()
+    # direct lamp view identical either way
+    np.testing.assert_allclose(img_nee.max(), img_off.max(), rtol=1e-6)
+
+
 def test_emission_gradients():
     """The lamp's emission is a differentiable light parameter."""
     import jax

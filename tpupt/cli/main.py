@@ -35,6 +35,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["final", "color", "normal", "depth"],
                    help="which buffer to write (reference DisplayBufferType)")
     p.add_argument("--stats-json", default=None, help="write stage timing/throughput JSON here")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the path-tracing stage")
+    p.add_argument("--checkpoint", default=None, metavar="NPZ",
+                   help="save accumulation state here; resumes from it if present")
     p.add_argument("--honor-background", action="store_true",
                    help="honor the scene 'background' key (the reference ignores it)")
     return p
@@ -90,13 +94,26 @@ def main(argv=None) -> int:
                         max_bounces=args.max_bounces, rr_start=args.rr,
                         method=args.method)
 
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        tracer.load_checkpoint(args.checkpoint)
+        print(f"Resumed from {args.checkpoint} at iteration {tracer.iteration}")
+
     sw.stage("Path tracing")
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
     total_rays = 0
     t0 = time.perf_counter()
-    for _ in range(desc.spp):
-        total_rays += tracer.path_trace(desc.camera)
-    jax.block_until_ready(tracer.buffers.color)
+    with profile_ctx:
+        for _ in range(tracer.iteration, desc.spp):
+            total_rays += tracer.path_trace(desc.camera)
+        jax.block_until_ready(tracer.buffers.color)
     trace_secs = time.perf_counter() - t0
+
+    if args.checkpoint:
+        tracer.save_checkpoint(args.checkpoint)
 
     if args.denoise:
         sw.stage("Denoising")

@@ -130,6 +130,12 @@ class SceneArrays:
     bg_down: jnp.ndarray  # (3,) f32
     bg_up: jnp.ndarray  # (3,) f32
 
+    # Emissive-sphere light list for next-event estimation (world-space,
+    # baked at build; empty-safe placeholder row when no lights).
+    nee_center: jnp.ndarray  # (Ls, 3) f32
+    nee_radius: jnp.ndarray  # (Ls,) f32
+    nee_emission: jnp.ndarray  # (Ls, 3) f32
+
     # --- static (non-pytree) scene structure ---------------------------
     # kind per object: OBJ_SPHERE or OBJ_MESH
     s_obj_kind: tuple = struct.field(pytree_node=False, default=())
@@ -141,6 +147,8 @@ class SceneArrays:
     s_mesh_tri_range: tuple = struct.field(pytree_node=False, default=())
     # treelet leaf size L (static: shapes depend on it)
     s_leaf_size: int = struct.field(pytree_node=False, default=64)
+    # object ids of emissive spheres (NEE light list; static)
+    s_light_objs: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_objects(self) -> int:

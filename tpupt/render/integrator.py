@@ -34,9 +34,12 @@ from tpupt.core import camera as cam
 from tpupt.core import vec
 from tpupt.core.vec import Vec3
 from tpupt.core.types import Camera, RenderBuffers, SceneArrays
+from tpupt.core.types import MAT_DIFFUSE
 from tpupt.render.intersect import background_color, intersect_scene_ids, refine_hit
-from tpupt.render.materials import russian_roulette, shade
-from tpupt.sampling.rng import jitter_counters, pixel_seed, uniform
+from tpupt.render.materials import russian_roulette, sample_light_sphere, shade
+from tpupt.sampling.rng import bounce_counter, jitter_counters, pixel_seed, uniform
+
+INV_PI = 0.3183098861837907
 
 MAX_BOUNCES_DEFAULT = 50  # reference max_bounces, src/lib/path_tracer.cu:27
 # Pixel tile edge for packet swizzling.  Measured on v5e with the bunny
@@ -98,11 +101,66 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
         radiance=zero3,
         color=Vec3(ones, ones, ones),
         alive=zf == 0.0,
+        # last scatter was specular/primary: emissive hits add their
+        # radiance only then (diffuse bounces get it via the NEE sample)
+        spec=zf == 0.0,
         normal=-rd,
         depth=zf + jnp.float32(1e6),
         rays=(pix[0] * jnp.uint32(0)).astype(jnp.int32),
     )
     return state, seed, local
+
+
+def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive):
+    """Next-event estimation: sample each emissive sphere light from every
+    diffuse hit, shadow-test with the regular intersector, and return the
+    direct-light radiance contribution (BASELINE north star: 'per-bounce
+    BSDF shading + next-event estimation').
+
+    The shadow test asks "is the closest hit along the sampled direction
+    the light itself?" — robust against self-shadowing epsilons."""
+    mats = scene.materials
+    mtype = mats.mat_type[hit.mat_id]
+    albedo = Vec3(
+        mats.albedo[:, 0][hit.mat_id],
+        mats.albedo[:, 1][hit.mat_id],
+        mats.albedo[:, 2][hit.mat_id],
+    )
+    n = hit.normal
+    diffuse = alive & hit.mask & (mtype == MAT_DIFFUSE)
+    # offset origin against the surface (same epsilon as the scatter)
+    p = hit.point + n * 1e-4
+
+    zf = hit.t * 0.0
+    total = Vec3(zf, zf, zf)
+    for li, lo in enumerate(scene.s_light_objs):
+        center = Vec3(
+            scene.nee_center[li, 0] + zf,
+            scene.nee_center[li, 1] + zf,
+            scene.nee_center[li, 2] + zf,
+        )
+        radius = scene.nee_radius[li]
+        u1 = uniform(seed, bounce_counter(bounce, 4 + 2 * li))
+        u2 = uniform(seed, bounce_counter(bounce, 5 + 2 * li))
+        direction, pdf, valid = sample_light_sphere(center, radius, p, u1, u2)
+
+        shadow_active = diffuse & valid
+        ids2, _ = intersect_fn(
+            scene, p, direction, zf + jnp.float32(1e-4), shadow_active
+        )
+        lit = shadow_active & (ids2.obj_id == lo)
+
+        cos_p = jnp.maximum(n.dot(direction), 0.0)
+        # cosine-weighted lambertian: f = albedo/pi
+        scale = cos_p * INV_PI / pdf
+        contrib = throughput * albedo * scale
+        emit = Vec3(
+            scene.nee_emission[li, 0] + zf,
+            scene.nee_emission[li, 1] + zf,
+            scene.nee_emission[li, 2] + zf,
+        )
+        total = vec.where(lit, total + contrib * emit, total)
+    return total
 
 
 def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine):
@@ -136,13 +194,19 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
     normal = vec.where(first & hit.mask, hit.normal, state["normal"])
     depth = jnp.where(first & hit.mask, hit.t, state["depth"])
 
-    new_ro, new_rd, new_t_min, new_color, emitted, absorb = shade(
+    new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
         scene, hit, state["ro"], state["rd"], state["t_min"], state["color"], seed, bounce
     )
-    # emissive surfaces add (throughput x emission) and absorb the path
-    radiance = vec.where(
-        hit_alive, radiance + state["color"] * emitted, radiance
-    )
+    has_nee = len(scene.s_light_objs) > 0
+    # emissive surfaces add (throughput x emission) and absorb the path;
+    # with NEE active, diffuse-sampled rays skip it (the light sample at
+    # the previous bounce already counted this light)
+    emit_gate = hit_alive & (state["spec"] if has_nee else True)
+    radiance = vec.where(emit_gate, radiance + state["color"] * emitted, radiance)
+    if has_nee:
+        radiance = radiance + _nee_direct_light(
+            scene, hit, state["color"], seed, bounce, intersect_fn, alive
+        )
     out = dict(
         ro=vec.where(hit_alive, new_ro, state["ro"]),
         rd=vec.where(hit_alive, new_rd, state["rd"]),
@@ -150,6 +214,7 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
         radiance=radiance,
         color=vec.where(hit_alive, new_color, state["color"]),
         alive=hit_alive & ~absorb,
+        spec=jnp.where(hit_alive, specular, state["spec"]),
         normal=normal,
         depth=depth,
         rays=rays,

@@ -22,6 +22,7 @@ Exact semantics preserved:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpupt.core import vec
@@ -127,7 +128,38 @@ def shade(
     )
     zero3 = Vec3(jnp.zeros_like(fuzz), jnp.zeros_like(fuzz), jnp.zeros_like(fuzz))
     emitted = vec.where(is_emis, emitted, zero3)
-    return new_ro, new_rd, new_t_min, new_throughput, emitted, is_emis
+    # `specular` feeds NEE double-count suppression: emission seen through
+    # a diffuse-sampled ray is already accounted for by the light sample
+    specular = is_metal | is_diel
+    return new_ro, new_rd, new_t_min, new_throughput, emitted, is_emis, specular
+
+
+def sample_light_sphere(center: Vec3, radius, p: Vec3, u1, u2):
+    """Cone sampling of a sphere light as seen from ``p`` (uniform over
+    the subtended solid angle).  Returns (direction Vec3, pdf 1/sr,
+    valid mask — p outside the sphere)."""
+    d = center - p
+    dist2 = d.dot(d)
+    valid = dist2 > radius * radius
+    inv_dist = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+    w = d * inv_dist
+    sin2_max = jnp.clip(radius * radius / jnp.maximum(dist2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+
+    cos_t = 1.0 + u1 * (cos_max - 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 6.283185307179586 * u2
+
+    # orthonormal frame around w (branch-free Frisvad-style)
+    sign = jnp.where(w.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + w.z)
+    b = w.x * w.y * a
+    t1 = Vec3(1.0 + sign * w.x * w.x * a, sign * b, -sign * w.x)
+    t2 = Vec3(b, sign + w.y * w.y * a, -w.y)
+
+    direction = w * cos_t + t1 * (sin_t * jnp.cos(phi)) + t2 * (sin_t * jnp.sin(phi))
+    pdf = 1.0 / jnp.maximum(6.283185307179586 * (1.0 - cos_max), 1e-8)
+    return direction, pdf, valid
 
 
 def russian_roulette(throughput: Vec3, alive, seed, bounce):

@@ -107,6 +107,37 @@ class PathTracer:
         ).reshape(-1, 3)
         return self._denoised
 
+    # --- checkpoint / resume (SURVEY.md §5: the reference has none; long
+    # progressive renders deserve restartability) -----------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Save the accumulation state (color/normal/depth + iteration)."""
+        np.savez_compressed(
+            path,
+            color=np.asarray(self.buffers.color),
+            normal=np.asarray(self.buffers.normal),
+            depth=np.asarray(self.buffers.depth),
+            iteration=int(self.buffers.iteration),
+            width=self.width,
+            height=self.height,
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        import jax.numpy as jnp
+
+        data = np.load(path)
+        if (int(data["width"]), int(data["height"])) != (self.width, self.height):
+            raise ValueError(
+                f"checkpoint resolution {int(data['width'])}x{int(data['height'])} "
+                f"!= tracer resolution {self.width}x{self.height}"
+            )
+        self.buffers = RenderBuffers(
+            color=jnp.asarray(data["color"]),
+            normal=jnp.asarray(data["normal"]),
+            depth=jnp.asarray(data["depth"]),
+            iteration=jnp.asarray(data["iteration"], jnp.int32),
+        )
+        self._denoised = None
+
     def display(self, buffer_type: str = "final") -> np.ndarray:
         """Tonemapped uint8 view (reference send_to_preview + DisplayBufferType,
         src/lib/path_tracer.cu:480-520): final | color | normal | depth."""

@@ -70,6 +70,7 @@ def trace_sample_wavefront(
         radiance=Vec3.full((n,), 0.0, 0.0, 0.0),
         color=Vec3.full((n,), 1.0, 1.0, 1.0),
         alive=jnp.ones((n,), bool),
+        spec=jnp.ones((n,), bool),
         normal=-rd,
         depth=jnp.full((n,), jnp.float32(1e6)),
     )
@@ -101,10 +102,18 @@ def trace_sample_wavefront(
         normal = vec.where(first & hit.mask, hit.normal, st["normal"])
         depth = jnp.where(first & hit.mask, hit.t, st["depth"])
 
-        new_ro, new_rd, new_t_min, new_color, emitted, absorb = shade(
+        new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
             scene, hit, st["ro"], st["rd"], st["t_min"], st["color"], seed, b
         )
-        radiance = vec.where(hit_alive, radiance + st["color"] * emitted, radiance)
+        has_nee = len(scene.s_light_objs) > 0
+        emit_gate = hit_alive & (st["spec"] if has_nee else True)
+        radiance = vec.where(emit_gate, radiance + st["color"] * emitted, radiance)
+        if has_nee:
+            from tpupt.render.integrator import _nee_direct_light
+
+            radiance = radiance + _nee_direct_light(
+                scene, hit, st["color"], seed, b, intersect_fn, active
+            )
         st = dict(
             pixel=st["pixel"],
             ro=vec.where(hit_alive, new_ro, st["ro"]),
@@ -113,6 +122,7 @@ def trace_sample_wavefront(
             radiance=radiance,
             color=vec.where(hit_alive, new_color, st["color"]),
             alive=hit_alive & ~absorb,
+            spec=jnp.where(hit_alive, specular, st["spec"]),
             normal=normal,
             depth=depth,
         )

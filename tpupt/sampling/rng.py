@@ -50,9 +50,10 @@ def uniform(seed: jnp.ndarray, counter) -> jnp.ndarray:
     """U[0,1) float32 from a base seed and a static draw counter.
 
     Counter layout used by the integrator (see render/integrator.py):
-      0, 1            — sub-pixel jitter x, y
-      2 + 4*b + lane  — bounce b draws: lane 0/1 sphere sample, 2 fresnel,
-                        3 russian roulette
+      0, 1             — sub-pixel jitter x, y
+      2 + 16*b + lane  — bounce b draws: lane 0/1 sphere sample, 2 fresnel,
+                         3 russian roulette, 4+2i/5+2i NEE sample for
+                         light i (up to 6 lights)
     """
     c = jnp.asarray(counter).astype(_U32)
     bits = wang_hash(seed + c * _GOLDEN)
@@ -66,4 +67,4 @@ def jitter_counters():
 
 def bounce_counter(bounce, lane: int):
     """Draw counter for (bounce, lane); bounce may be traced."""
-    return 2 + jnp.asarray(bounce) * 4 + lane
+    return 2 + jnp.asarray(bounce) * 16 + lane
