@@ -6,19 +6,29 @@ why).  Pipeline per bounce, for the whole flat ray batch:
   phase 1  dense culling: every ray tests every treelet AABB (chunked
            (Np, P, Kc) slab tests, pure VPU, no gathers) -> per-packet
            hit mask + front-to-back entry distance per treelet
-  phase 2  per-packet argsort of hit treelets by entry distance
-  phase 3  sweep: a `lax.while_loop` where each iteration advances every
-           unfinished packet to its next-nearest hit treelet, fetches that
+  phase 2  packet sweep over a COMPACTION LADDER: each rung runs a
+           `lax.while_loop` where every step advances each unfinished
+           packet to its next-nearest hit treelet (per-step argmin —
+           argsort measured slower than the whole sweep), fetches that
            treelet's packed triangle block with ONE row-gather per packet,
-           and runs dense (P, L) Moller-Trumbore.  A packet finishes when
-           its list is exhausted or every live lane's current closest hit
-           is nearer than the next treelet's entry (front-to-back early
-           termination — the analogue of the reference's per-ray t_max
-           shrinking, src/lib/path_tracer.cu:62-64).
+           and runs dense (P, L) Moller-Trumbore with in-register winner
+           normals.  A packet finishes when its hit list is exhausted or
+           every live lane's closest hit is nearer than the next treelet's
+           entry (front-to-back early termination — the analogue of the
+           reference's per-ray t_max shrinking, src/lib/path_tracer.cu:62-64).
+
+           A lockstep loop pays the MAX packet-visit count across the
+           whole batch; the ladder exits each rung once <= 1/LADDER_DIV of
+           its packets remain live, compacts those to the front with cheap
+           contiguous ROW gathers (packet rows are ~1 KB — unlike per-lane
+           gathers these run at full HBM bandwidth), and continues on a
+           LADDER_DIV-times-smaller static slice.  Packets are mutually
+           independent, so this is pure scheduling: results are
+           bit-identical to the single-loop sweep.
 
 Gather traffic: N/P row-gathers per sweep step (vs 5N per step for the
-per-ray walk).  Every array in the hot math is component-SoA with a
-large minor axis (P, L or Kc) — see core/vec.py for why (N, 3) arrays are
+per-ray walk).  Every array in the hot math is component-SoA with a large
+minor axis (P, L or Kc) — see core/vec.py for why (N, 3) arrays are
 poison on TPU.
 """
 
@@ -31,6 +41,8 @@ from tpupt.core.vec import Vec3
 
 PACKET = 256  # rays per packet (sublane-major dim of the dense math)
 _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
+_LADDER_DIV = 4  # shrink factor per ladder rung
+_LADDER_MIN = 64  # smallest rung (packets)
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 
@@ -46,12 +58,8 @@ def intersect_treelets(
     """Closest mesh hit for every ray.
 
     Returns (t (N,), slot (N,) global treelet-slot id or -1, outward normal
-    Vec3) — the normal is selected in-register from the winning treelet
-    block each sweep step, so the forward render needs NO per-lane geometry
-    gathers afterwards (per-lane gathers cost ~2.3 ms per million lanes on
-    v5e — they are reserved for the once-per-bounce differentiable refine).
-    Map the slot to (triangle, object, material) with scene.slot_src /
-    slot_obj / slot_mat.
+    Vec3).  Map the slot to (triangle, object, material) with
+    scene.slot_src / slot_obj / slot_mat.
     """
     n = ro.x.shape[0]
     L = scene.s_leaf_size
@@ -59,6 +67,7 @@ def intersect_treelets(
 
     # pad the batch to a packet multiple with dead lanes
     pad = (-n) % PACKET
+
     def padded(a, fill):
         return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
 
@@ -70,15 +79,18 @@ def intersect_treelets(
     np_, p = (n + pad) // PACKET, PACKET
 
     shp = (np_, p)
-    rox, roy, roz = rox.reshape(shp), roy.reshape(shp), roz.reshape(shp)
-    rdx, rdy, rdz = rdx.reshape(shp), rdy.reshape(shp), rdz.reshape(shp)
-    ivx, ivy, ivz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
-    tmin_p = t_min.reshape(shp)
+    rows = dict(
+        rox=rox.reshape(shp), roy=roy.reshape(shp), roz=roz.reshape(shp),
+        rdx=rdx.reshape(shp), rdy=rdy.reshape(shp), rdz=rdz.reshape(shp),
+        tmin=t_min.reshape(shp),
+    )
     act_p = active.reshape(shp)
     # dead lanes: -BIG best-t so they never keep a packet alive
-    t_best0 = jnp.where(active, t_seed, -BIG)
+    rows["t"] = jnp.where(act_p, t_seed.reshape(shp), -BIG)
 
     # --- phase 1: dense treelet culling (chunked over K) ---------------
+    ivx, ivy, ivz = 1.0 / rows["rdx"], 1.0 / rows["rdy"], 1.0 / rows["rdz"]
+
     def axis_near_far(bmin_c, bmax_c, o, iv):
         t0 = (bmin_c[None, None, :] - o[:, :, None]) * iv[:, :, None]
         t1 = (bmax_c[None, None, :] - o[:, :, None]) * iv[:, :, None]
@@ -87,109 +99,143 @@ def intersect_treelets(
     entry_chunks = []
     for c0 in range(0, K, _CULL_CHUNK):
         c1 = min(c0 + _CULL_CHUNK, K)
-        nx0, fx0 = axis_near_far(scene.tre_min[c0:c1, 0], scene.tre_max[c0:c1, 0], rox, ivx)
-        ny0, fy0 = axis_near_far(scene.tre_min[c0:c1, 1], scene.tre_max[c0:c1, 1], roy, ivy)
-        nz0, fz0 = axis_near_far(scene.tre_min[c0:c1, 2], scene.tre_max[c0:c1, 2], roz, ivz)
+        nx0, fx0 = axis_near_far(scene.tre_min[c0:c1, 0], scene.tre_max[c0:c1, 0], rows["rox"], ivx)
+        ny0, fy0 = axis_near_far(scene.tre_min[c0:c1, 1], scene.tre_max[c0:c1, 1], rows["roy"], ivy)
+        nz0, fz0 = axis_near_far(scene.tre_min[c0:c1, 2], scene.tre_max[c0:c1, 2], rows["roz"], ivz)
         near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (np, p, Kc)
         far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
-        hit = (far >= near) & (far >= tmin_p[..., None]) & act_p[..., None]
+        hit = (far >= near) & (far >= rows["tmin"][..., None]) & act_p[..., None]
         # packet entry distance; +BIG when no lane hits
         entry = jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=1)
         entry_chunks.append(entry)
-    entry = jnp.concatenate(entry_chunks, axis=-1)  # (np, K)
+    rows["entry"] = jnp.concatenate(entry_chunks, axis=-1)  # (np, K)
 
-    # --- phase 2+3: packet sweep with on-the-fly front-to-back selection.
-    # Rather than argsort (XLA sort on TPU costs more than the whole
-    # sweep), each step argmins the remaining entry distances — an (np, K)
-    # reduce per step, steps ~= treelets actually visited.
-    def comp(block, c):  # (np, 9L) -> (np, 1, L) component c
-        return block[:, c * L : (c + 1) * L][:, None, :]
-
-    packet_idx = jnp.arange(np_, dtype=jnp.int32)
-    lane_l = jnp.arange(L, dtype=jnp.int32)[None, None, :]  # (1, 1, L)
-
-    def step(state):
-        i, entry_left, t_best, slot_best, n_best = state
-        t_best_p = t_best.reshape(np_, p)
-
-        tid = jnp.argmin(entry_left, axis=-1).astype(jnp.int32)  # (np,)
-        ent = jnp.min(entry_left, axis=-1)
-        # packet still working: unvisited hit treelets remain AND some lane
-        # could still improve (front-to-back => later treelets are farther)
-        live = (ent < BIG) & (ent <= jnp.max(t_best_p, axis=1))
-        safe_tid = jnp.where(live, tid, 0)
-        entry_left = entry_left.at[packet_idx, tid].set(BIG)
-
-        block = scene.tre_tris[safe_tid]  # one row-gather per packet
-        p0x, p0y, p0z = comp(block, 0), comp(block, 1), comp(block, 2)
-        e1x, e1y, e1z = comp(block, 3), comp(block, 4), comp(block, 5)
-        e2x, e2y, e2z = comp(block, 6), comp(block, 7), comp(block, 8)
-
-        ox, oy, oz = rox[:, :, None], roy[:, :, None], roz[:, :, None]
-        dx, dy, dz = rdx[:, :, None], rdy[:, :, None], rdz[:, :, None]
-
-        # Moller-Trumbore, fully component-wise -> (np, p, L) scalars
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        f = 1.0 / jnp.where(jnp.abs(a) < MOLLER_EPS, 1.0, a)
-        sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dx * qx + dy * qy + dz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (
-            (jnp.abs(a) >= MOLLER_EPS)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= tmin_p[..., None])
-            & (t <= t_best_p[..., None])
-            & live[:, None, None]
-        )
-        t_masked = jnp.where(ok, t, BIG)
-        j = jnp.argmin(t_masked, axis=-1)  # (np, p) best slot in treelet
-        t_new = jnp.min(t_masked, axis=-1)
-        got = t_new < BIG
-        t_best = jnp.where(got, t_new, t_best_p).reshape(-1)
-        new_slot = safe_tid[:, None] * L + j
-        slot_best = jnp.where(
-            got, new_slot, slot_best.reshape(np_, p)
-        ).reshape(-1)
-
-        # outward normal = cross(e1, e2) of the winning slot, selected
-        # in-register via a one-hot reduce (no gathers)
-        sel = lane_l == j[..., None]  # (np, p, L)
-        cnx = e1y * e2z - e1z * e2y  # (np, 1, L)
-        cny = e1z * e2x - e1x * e2z
-        cnz = e1x * e2y - e1y * e2x
-        nwx = jnp.sum(jnp.where(sel, cnx, 0.0), -1)
-        nwy = jnp.sum(jnp.where(sel, cny, 0.0), -1)
-        nwz = jnp.sum(jnp.where(sel, cnz, 0.0), -1)
-        n_best = Vec3(
-            jnp.where(got, nwx, n_best.x.reshape(np_, p)).reshape(-1),
-            jnp.where(got, nwy, n_best.y.reshape(np_, p)).reshape(-1),
-            jnp.where(got, nwz, n_best.z.reshape(np_, p)).reshape(-1),
-        )
-        return i + 1, entry_left, t_best, slot_best, n_best
-
-    def cond(state):
-        i, entry_left, t_best, _, _ = state
-        t_best_p = t_best.reshape(np_, p)
-        ent = jnp.min(entry_left, axis=-1)
-        remaining = (ent < BIG) & (ent <= jnp.max(t_best_p, axis=1))
-        return (i < K) & jnp.any(remaining)
-
-    # initial carries derive from varying inputs so the loop is well-typed
-    # under shard_map's varying-manual-axes checking
-    zero = t_best0 * 0.0
-    slot0 = zero.astype(jnp.int32) - 1
-    n0 = Vec3(zero, zero, zero)
-    _, _, t_best, slot_best, n_best = lax.while_loop(
-        cond, step, (jnp.int32(0), entry, t_best0, slot0, n0)
+    # sweep outputs (derive from varying inputs for shard_map VMA typing)
+    zero_p = rows["t"] * 0.0
+    rows["slot"] = zero_p.astype(jnp.int32) - 1
+    rows["nx"], rows["ny"], rows["nz"] = zero_p, zero_p, zero_p
+    # original packet index, for the final un-permutation
+    rows["src"] = (
+        zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
     )
 
-    normal = Vec3(n_best.x[:n], n_best.y[:n], n_best.z[:n])
+    lane_l = jnp.arange(L, dtype=jnp.int32)[None, None, :]  # (1, 1, L)
+
+    def comp(block, c):  # (sz, 9L) -> (sz, 1, L) component c
+        return block[:, c * L : (c + 1) * L][:, None, :]
+
+    def packet_live(r):
+        ent = jnp.min(r["entry"], axis=-1)
+        return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
+
+    def make_step(sz):
+        packet_idx = jnp.arange(sz, dtype=jnp.int32)
+
+        def step(r):
+            tid = jnp.argmin(r["entry"], axis=-1).astype(jnp.int32)  # (sz,)
+            ent = jnp.min(r["entry"], axis=-1)
+            live = (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
+            safe_tid = jnp.where(live, tid, 0)
+            entry = r["entry"].at[packet_idx, tid].set(BIG)
+
+            block = scene.tre_tris[safe_tid]  # one row-gather per packet
+            p0x, p0y, p0z = comp(block, 0), comp(block, 1), comp(block, 2)
+            e1x, e1y, e1z = comp(block, 3), comp(block, 4), comp(block, 5)
+            e2x, e2y, e2z = comp(block, 6), comp(block, 7), comp(block, 8)
+
+            ox, oy, oz = r["rox"][:, :, None], r["roy"][:, :, None], r["roz"][:, :, None]
+            dx, dy, dz = r["rdx"][:, :, None], r["rdy"][:, :, None], r["rdz"][:, :, None]
+
+            # Moller-Trumbore, fully component-wise -> (sz, p, L) scalars
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / jnp.where(jnp.abs(a) < MOLLER_EPS, 1.0, a)
+            sx, sy, sz_ = ox - p0x, oy - p0y, oz - p0z
+            u = f * (sx * hx + sy * hy + sz_ * hz)
+            qx = sy * e1z - sz_ * e1y
+            qy = sz_ * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (jnp.abs(a) >= MOLLER_EPS)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= r["tmin"][..., None])
+                & (t <= r["t"][..., None])
+                & live[:, None, None]
+            )
+            t_masked = jnp.where(ok, t, BIG)
+            j = jnp.argmin(t_masked, axis=-1)  # (sz, p) best slot in treelet
+            t_new = jnp.min(t_masked, axis=-1)
+            got = t_new < BIG
+            new_slot = safe_tid[:, None] * L + j
+
+            # outward normal = cross(e1, e2) of the winning slot, selected
+            # in-register via a one-hot reduce (no gathers)
+            sel = lane_l == j[..., None]  # (sz, p, L)
+            cnx = e1y * e2z - e1z * e2y  # (sz, 1, L)
+            cny = e1z * e2x - e1x * e2z
+            cnz = e1x * e2y - e1y * e2x
+            nwx = jnp.sum(jnp.where(sel, cnx, 0.0), -1)
+            nwy = jnp.sum(jnp.where(sel, cny, 0.0), -1)
+            nwz = jnp.sum(jnp.where(sel, cnz, 0.0), -1)
+
+            out = dict(r)
+            out["entry"] = entry
+            out["t"] = jnp.where(got, t_new, r["t"])
+            out["slot"] = jnp.where(got, new_slot, r["slot"])
+            out["nx"] = jnp.where(got, nwx, r["nx"])
+            out["ny"] = jnp.where(got, nwy, r["ny"])
+            out["nz"] = jnp.where(got, nwz, r["nz"])
+            return out
+
+        return step
+
+    # --- the ladder ----------------------------------------------------
+    sizes = []
+    sz = np_
+    while True:
+        sizes.append(sz)
+        if sz <= _LADDER_MIN:
+            break
+        sz = max(_LADDER_MIN, sz // _LADDER_DIV)
+
+    full = rows
+    for li, sz in enumerate(sizes):
+        sub = {k: v[:sz] for k, v in full.items()}
+        is_last = li == len(sizes) - 1
+        threshold = 0 if is_last else sz // _LADDER_DIV
+        step = make_step(sz)
+
+        def cond(carry, threshold=threshold):
+            i, r = carry
+            count = jnp.sum(packet_live(r), dtype=jnp.int32)
+            return (i < K) & (count > threshold)
+
+        def body(carry):
+            i, r = carry
+            return i + 1, step(r)
+
+        _, sub = lax.while_loop(cond, body, (jnp.int32(0), sub))
+
+        full = {k: v.at[:sz].set(sub[k]) for k, v in full.items()}
+        if not is_last:
+            # stable-compact live packets to the front of the processed
+            # slice (packet-level argsort: tiny; row gathers: contiguous)
+            order = jnp.argsort(~packet_live(sub), stable=True).astype(jnp.int32)
+            perm = {k: v[order] for k, v in sub.items()}
+            full = {k: v.at[:sz].set(perm[k]) for k, v in full.items()}
+
+    # --- un-permute to original packet order ---------------------------
+    src = full["src"]  # (np,) original packet id of each row
+    t_best = jnp.zeros((np_, p)).at[src].set(full["t"]).reshape(-1)
+    slot_best = jnp.zeros((np_, p), jnp.int32).at[src].set(full["slot"]).reshape(-1)
+    nx = jnp.zeros((np_, p)).at[src].set(full["nx"]).reshape(-1)
+    ny = jnp.zeros((np_, p)).at[src].set(full["ny"]).reshape(-1)
+    nz = jnp.zeros((np_, p)).at[src].set(full["nz"]).reshape(-1)
+
+    normal = Vec3(nx[:n], ny[:n], nz[:n])
     return t_best[:n], slot_best[:n], normal
