@@ -41,7 +41,7 @@ from tpupt.core.vec import Vec3
 
 PACKET = 256  # rays per packet (sublane-major dim of the dense math)
 _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
-_LADDER_DIV = 4  # shrink factor per ladder rung
+_LADDER_DIV = 8  # shrink factor per ladder rung (coarse: each rung duplicates the sweep body in the program; compile cost through this environment is minutes per instantiation)
 _LADDER_MIN = 64  # smallest rung (packets)
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54

@@ -229,6 +229,20 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
     return out
 
 
+def _partition_perm(alive: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-partition permutation: live lanes first.  Built from prefix
+    sums + one scatter — `argsort` at 1M lanes costs ~300 ms on v5e, this
+    costs ~3 per-lane ops + one scatter.  Returns (perm, live_count)."""
+    n = alive.shape[0]
+    alive_i = alive.astype(jnp.int32)
+    count = jnp.sum(alive_i)
+    pos_live = jnp.cumsum(alive_i) - 1
+    pos_dead = count + jnp.cumsum(1 - alive_i) - 1
+    dest = jnp.where(alive, pos_live, pos_dead)
+    perm = jnp.zeros((n,), jnp.int32).at[dest].set(jnp.arange(n, dtype=jnp.int32))
+    return perm, count
+
+
 def trace_sample(
     scene: SceneArrays,
     camera: Camera,
@@ -254,6 +268,11 @@ def trace_sample(
     state, seed, local = _init_paths(scene, camera, width, height, iteration, row0, rows)
 
     if not differentiable:
+        # NOTE: a bounce-level ray-compaction ladder (mirroring the packet
+        # ladder in accel/packets.py) was measured to add NO runtime benefit
+        # here — the packet ladder already makes nearly-empty sweeps cheap
+        # (~0.5 ms/bounce tail at 256^2) — while slowing small renders and
+        # multiplying compile time, so the forward loop stays flat.
 
         def cond(carry):
             b, st = carry
