@@ -1,0 +1,190 @@
+"""Benchmark harness for the five BASELINE configs (BASELINE.md).
+
+The reference publishes no numbers (SURVEY.md §6); this harness *creates*
+the baseline: Mrays/s per config (rays = actually-traced path segments)
+plus sharded-scaling efficiency.  `bench.py` at the repo root is the
+driver-facing single-line wrapper; this module is the full machinery:
+
+    from tpupt.bench.harness import run_config, CONFIGS
+    result = run_config("bunny", size=1024)
+
+Configs (BASELINE.json):
+  1 sphere    — single sphere + ground, 128^2, 1 spp, 2 bounces
+  2 cornell   — Cornell-box spheres, 512^2, 4 spp, 4 bounces + RR
+  3 bunny     — obj mesh + BVH, 1024^2  (the headline metric)
+  4 diff      — 1-spp render + differentiable denoise, material grads
+  5 multimesh — multi-mesh scene 1024^2 16 spp (+ tile-sharded variant)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+
+@dataclass
+class BenchResult:
+    name: str
+    mrays_per_sec: float
+    rays: int
+    seconds: float
+    extra: dict
+
+
+def _timed(fn, args, iters):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    total_rays = 0
+    for _ in range(iters):
+        out = fn(*args)
+        total_rays += int(out[1])
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    return total_rays, time.perf_counter() - t0
+
+
+def _scene_cornell():
+    import os
+
+    from tpupt.scene.assets_gen import locate_asset_path
+    from tpupt.scene.json_parser import scene_from_json
+
+    desc = scene_from_json(
+        os.path.join(locate_asset_path(), "scenes", "cornell.json")
+    )
+    return desc.build(), desc.camera
+
+
+def _scene_sphere():
+    import numpy as np
+
+    import tpupt.core.math3d as m3
+    from tpupt.core.camera import make_camera
+    from tpupt.scene.description import SceneDescription
+
+    d = SceneDescription()
+    d.add_material("ground", "lambertian", albedo=(0.8, 0.8, 0.0))
+    d.add_material("ball", "lambertian", albedo=(0.1, 0.2, 0.5))
+    d.add_sphere(100.0, np.asarray(m3.mat_translate([0, -100.5, -1])), "ground")
+    d.add_sphere(0.5, np.asarray(m3.mat_translate([0, 0, -1])), "ball")
+    return d.build(), make_camera(vfov=np.pi / 2)
+
+
+def _scene_bunny():
+    import __graft_entry__ as ge
+
+    return ge._flagship_scene(mesh_subdiv=4)
+
+
+def _scene_multimesh():
+    import os
+
+    from tpupt.scene.assets_gen import ensure_models, locate_asset_path
+    from tpupt.scene.json_parser import scene_from_json
+
+    ensure_models()
+    desc = scene_from_json(
+        os.path.join(locate_asset_path(), "scenes", "multi_mesh.json")
+    )
+    return desc.build(), desc.camera
+
+
+def bench_forward(scene, camera, size, spp, max_bounces, iters, rr_start=None):
+    import jax
+
+    from tpupt.render.integrator import render_image
+
+    fn = jax.jit(partial(
+        render_image, width=size, height=size, spp=spp,
+        max_bounces=max_bounces, rr_start=rr_start,
+    ))
+    rays, secs = _timed(fn, (scene, camera), iters)
+    return rays, secs
+
+
+def bench_fwd_bwd(scene, camera, size, spp, max_bounces, iters, denoise=False):
+    """BASELINE headline metric: fwd+bwd Mrays/s (loss -> material grads;
+    optionally through the differentiable denoiser, config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpupt.denoise.atrous import atrous_denoise
+    from tpupt.diff.params import extract_params, with_params
+    from tpupt.render.integrator import render_image
+
+    target = jnp.zeros((size * size, 3))
+
+    def loss_fn(params, scene, camera):
+        s = with_params(scene, params)
+        buf, rays = render_image(
+            s, camera, size, size, spp,
+            max_bounces=max_bounces, differentiable=True,
+        )
+        img = buf.color
+        if denoise:
+            img = atrous_denoise(
+                buf.color.reshape(size, size, 3),
+                buf.normal.reshape(size, size, 3),
+                buf.depth.reshape(size, size),
+                camera, filter_size=4,
+            ).reshape(-1, 3)
+        return jnp.sum((img - target) ** 2), rays
+
+    grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
+    params = extract_params(scene)
+    rays, secs = _timed(lambda p, s, c: grad_fn(p, s, c), (params, scene, camera), iters)
+    return rays, secs
+
+
+def bench_sharded(scene, camera, size, spp, max_bounces, iters, n_devices=None):
+    """Rays/s with the image tile-sharded over the device mesh; compare to
+    the single-device number for scaling efficiency."""
+    import jax
+
+    from tpupt.dist.sharding import make_tile_mesh, render_image_sharded
+
+    mesh = make_tile_mesh(n_devices)
+
+    def fn(scene, camera):
+        buf, rays = render_image_sharded(
+            scene, camera, size, size, spp, mesh, max_bounces=max_bounces
+        )
+        return buf, rays
+
+    fn = jax.jit(fn)
+    rays, secs = _timed(fn, (scene, camera), iters)
+    return rays, secs, mesh.devices.size
+
+
+CONFIGS = {
+    "sphere": dict(scene=_scene_sphere, size=128, spp=1, mb=2, rr=None),
+    "cornell": dict(scene=_scene_cornell, size=512, spp=4, mb=4, rr=2),
+    "bunny": dict(scene=_scene_bunny, size=1024, spp=1, mb=50, rr=8),
+    "diff": dict(scene=_scene_sphere, size=256, spp=1, mb=4, rr=None),
+    "multimesh": dict(scene=_scene_multimesh, size=1024, spp=16, mb=8, rr=4),
+}
+
+
+def run_config(name: str, iters: int = 3, size: int | None = None) -> BenchResult:
+    cfg = CONFIGS[name]
+    scene, camera = cfg["scene"]()
+    sz = size or cfg["size"]
+    extra = {}
+    if name == "diff":
+        rays, secs = bench_fwd_bwd(scene, camera, sz, cfg["spp"], cfg["mb"], iters, denoise=True)
+    else:
+        rays, secs = bench_forward(scene, camera, sz, cfg["spp"], cfg["mb"], iters, cfg["rr"])
+    if name == "multimesh":
+        import jax
+
+        if jax.device_count() > 1:
+            s_rays, s_secs, nd = bench_sharded(
+                scene, camera, sz, cfg["spp"], cfg["mb"], iters
+            )
+            extra["sharded_mrays"] = s_rays / s_secs / 1e6
+            extra["devices"] = nd
+            extra["scaling_eff"] = (s_rays / s_secs) / (rays / secs) / nd
+    return BenchResult(name, rays / secs / 1e6, rays, secs, extra)

@@ -134,7 +134,7 @@ class SceneDescription:
         return len(self._objects)
 
     # --- build ---------------------------------------------------------
-    def build(self, leaf_size: int = 64) -> SceneArrays:
+    def build(self, leaf_size: int = 32) -> SceneArrays:
         """Bake to flat device arrays (reference build_scene,
         src/lib/scene_description.cpp:12-117) + the world-space treelet
         table for the TPU packet intersector (accel/treelets.py)."""
