@@ -16,7 +16,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tpupt.core import math3d
 from tpupt.core.types import Camera
 
 T_MIN_PRIMARY = 1e-4
