@@ -1,0 +1,63 @@
+"""Sample-chaining forward renderer (integrator._render_chained).
+
+The chained loop merges the spp loop into the bounce loop — each lane
+starts its next sample the instant its path dies.  It is semantically
+identical to the plain per-sample loop: same counter-based RNG per
+(pixel, iteration, bounce), same per-lane (n-1)/n progressive average,
+and the same integer count of traced segments (asserted EXACTLY — it
+proves the per-lane aliveness evolution matches bounce for bounce).
+Float outputs are compared at 1-2 ulp: XLA makes different FMA-contraction
+choices for the two program structures (measured: even the *primary ray
+directions* differ at 1 ulp between a fori_loop body and a hoisted init),
+so cross-structure bit-equality is not achievable; the bit-identity
+invariants in CLAUDE.md hold between identically-structured programs
+(sharded vs single-device, megakernel vs wavefront).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import tpupt.core.math3d as m3
+from tpupt.core.camera import make_camera
+from tpupt.render.integrator import render_image
+from tpupt.scene.description import SceneDescription
+
+W, H = 24, 16
+# 1-ulp primary-ray diffs amplify through grazing sphere hits (dt/ddir is
+# unbounded at the silhouette) and bounce recursion; measured max ~7e-6 rel.
+ULP = dict(rtol=1e-4, atol=1e-5)
+
+
+def _compare(scene, camera, **kw):
+    buf_c, rays_c = render_image(scene, camera, W, H, chain_samples=True, **kw)
+    buf_u, rays_u = render_image(scene, camera, W, H, chain_samples=False, **kw)
+    np.testing.assert_allclose(np.asarray(buf_c.color), np.asarray(buf_u.color), **ULP)
+    np.testing.assert_allclose(np.asarray(buf_c.normal), np.asarray(buf_u.normal), **ULP)
+    np.testing.assert_allclose(np.asarray(buf_c.depth), np.asarray(buf_u.depth), **ULP)
+    assert int(buf_c.iteration) == int(buf_u.iteration)
+    assert int(rays_c) == int(rays_u)
+
+
+def test_chained_bit_identical_full_scene(full_scene, camera):
+    _compare(full_scene, camera, spp=3, max_bounces=6)
+
+
+def test_chained_bit_identical_with_rr(full_scene, camera):
+    _compare(full_scene, camera, spp=4, max_bounces=12, rr_start=2)
+
+
+def test_chained_bit_identical_start_iteration(sphere_scene, camera):
+    _compare(sphere_scene, camera, spp=2, max_bounces=5, start_iteration=3)
+
+
+def test_chained_bit_identical_nee_lights(camera):
+    d = SceneDescription(bg_down=(0, 0, 0), bg_up=(0, 0, 0))
+    d.add_material("floor", "lambertian", albedo=(0.7, 0.7, 0.7))
+    d.add_material("lamp", "diffuse_light", emit=(10.0, 8.0, 6.0))
+    d.add_sphere(100.0, np.asarray(m3.mat_translate([0, -100.5, -1])), "floor")
+    d.add_sphere(0.3, np.asarray(m3.mat_translate([0, 0.7, -1.5])), "lamp")
+    _compare(d.build(), camera, spp=2, max_bounces=5)
+
+
+def test_chained_spp1(sphere_scene, camera):
+    _compare(sphere_scene, camera, spp=1, max_bounces=4)

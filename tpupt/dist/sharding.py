@@ -82,6 +82,7 @@ def render_image_sharded(
     max_bounces: int = MAX_BOUNCES_DEFAULT,
     rr_start: int | None = None,
     start_iteration: int = 0,
+    chain_samples: bool = True,
 ):
     """Tile-sharded progressive render.
 
@@ -113,6 +114,7 @@ def render_image_sharded(
             start_iteration=start_iteration,
             row0=row0[0],
             rows=rows_per,
+            chain_samples=chain_samples,
         )
         return buffers.color, buffers.normal, buffers.depth, lax.psum(rays, "tiles")
 

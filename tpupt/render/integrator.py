@@ -66,20 +66,21 @@ def _tile_swizzle(width: int, rows: int, tile: int = TILE):
     return (ty * tile + iy) * width + (tx * tile + ix)
 
 
-def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
-    """Jittered primary rays + path state (reference raygen_kernel,
-    src/lib/ray_gen.cu:11-32).  All path state is component-SoA (Vec3 of
-    (N,) arrays — core/vec.py).
-
-    ``row0``/``rows`` select a horizontal band of the image — the unit of
-    tile sharding.  All RNG and camera math uses *global* pixel indices, so
-    a sharded render is bit-identical to the single-device one.
-    """
-    rows = height if rows is None else rows
+def _band_pixels(width, rows, row0):
+    """Global pixel index per lane for a horizontal band (the unit of tile
+    sharding), in the packet processing order."""
     n = width * rows
     local = _tile_swizzle(width, rows)  # None => row-major, no unswizzle
     lin = local if local is not None else jnp.arange(n, dtype=jnp.int32)
     pix = jnp.asarray(row0, jnp.uint32) * jnp.uint32(width) + lin.astype(jnp.uint32)
+    return pix, local
+
+
+def _fresh_state(scene, camera, width, height, pix, iteration):
+    """Jittered primary ray + path state for every lane (reference
+    raygen_kernel, src/lib/ray_gen.cu:11-32).  ``iteration`` may be a
+    per-lane array — the sample-chaining loop re-inits each lane for its
+    own next sample the moment its current path dies."""
     seed = pixel_seed(pix, iteration)
     c0, c1 = jitter_counters()
     fx = (pix % jnp.uint32(width)).astype(jnp.float32) + uniform(seed, c0)
@@ -106,8 +107,16 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
         spec=zf == 0.0,
         normal=-rd,
         depth=zf + jnp.float32(1e6),
-        rays=(pix[0] * jnp.uint32(0)).astype(jnp.int32),
     )
+    return state, seed
+
+
+def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
+    """Fresh path state for a whole band at one sample iteration."""
+    rows = height if rows is None else rows
+    pix, local = _band_pixels(width, rows, row0)
+    state, seed = _fresh_state(scene, camera, width, height, pix, iteration)
+    state["rays"] = (pix[0] * jnp.uint32(0)).astype(jnp.int32)
     return state, seed, local
 
 
@@ -336,6 +345,127 @@ def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
     )
 
 
+def _render_chained(
+    scene,
+    camera,
+    width,
+    height,
+    spp,
+    max_bounces,
+    rr_start,
+    start_iteration,
+    intersect_fn,
+    row0,
+    rows,
+):
+    """Forward render with per-lane sample chaining.
+
+    The plain spp loop pays ``spp × (deepest path in the batch)`` bounce
+    sweeps: every sample's device loop runs until the LAST straggler lane
+    terminates while the average path is a few bounces deep.  Here the spp
+    loop is merged into the bounce loop — the moment a lane's path dies it
+    folds the sample into its own accumulator and immediately starts its
+    next sample, so the total trip count is the *maximum over lanes of
+    summed path lengths* (≈ spp × average + one tail) instead of spp × max.
+
+    Per-lane bounce counters feed the same counter-based RNG, the same
+    (n−1)/n progressive average runs per lane at its own sample index, and
+    lanes never interact — so the result is bit-identical to the unchained
+    loop (tests/test_chained.py), just with far fewer dead-lane sweeps.
+    """
+    rows = height if rows is None else rows
+    n = width * rows
+    pix, local = _band_pixels(width, rows, row0)
+    it0 = jnp.asarray(start_iteration, jnp.int32)
+
+    st, seed = _fresh_state(scene, camera, width, height, pix, it0)
+    st["rays"] = (pix[0] * jnp.uint32(0)).astype(jnp.int32)
+    zf = st["depth"] * 0.0
+    zero3 = Vec3(zf, zf, zf)
+    carry = dict(
+        st=st,
+        seed=seed,
+        bounce=zf.astype(jnp.int32),
+        k=zf.astype(jnp.int32),  # per-lane finished-sample count
+        done=zf != 0.0,
+        acc_color=zero3,
+        acc_normal=zero3,
+        acc_depth=zf,
+    )
+
+    def cond(c):
+        return jnp.any(~c["done"])
+
+    def body(c):
+        st2 = _bounce_body(
+            scene, c["seed"], c["st"], c["bounce"], rr_start, intersect_fn,
+            use_refine=False,
+        )
+        b2 = c["bounce"] + 1
+        capped = st2["alive"] & (b2 >= max_bounces)
+        ended = ~c["done"] & (~st2["alive"] | capped)
+
+        # fold the finished sample: radiance, plus raw throughput for paths
+        # terminated by the bounce cap (matches trace_sample's epilogue)
+        final = vec.where(capped, st2["radiance"] + st2["color"], st2["radiance"])
+        git = it0 + c["k"]  # global iteration index of the finished sample
+        nf = (git + 1).astype(jnp.float32)
+        first = git == 0
+
+        def acc1(old, new):
+            mixed = (old * (nf - 1.0) + new) / nf
+            return jnp.where(ended, jnp.where(first, new, mixed), old)
+
+        def acc3(old, new):
+            return Vec3(acc1(old.x, new.x), acc1(old.y, new.y), acc1(old.z, new.z))
+
+        acc_color = acc3(c["acc_color"], final)
+        acc_normal = acc3(c["acc_normal"], st2["normal"])
+        acc_depth = acc1(c["acc_depth"], st2["depth"])
+
+        k2 = jnp.where(ended, c["k"] + 1, c["k"])
+        done2 = c["done"] | (ended & (k2 >= spp))
+        need = ended & (k2 < spp)
+
+        fresh, fresh_seed = _fresh_state(scene, camera, width, height, pix, it0 + k2)
+        st3 = {}
+        for key in fresh:
+            if key == "alive":
+                st3[key] = jnp.where(need, True, st2[key] & ~ended)
+            elif isinstance(fresh[key], Vec3):
+                st3[key] = vec.where(need, fresh[key], st2[key])
+            else:
+                st3[key] = jnp.where(need, fresh[key], st2[key])
+        st3["rays"] = st2["rays"]
+        return dict(
+            st=st3,
+            seed=jnp.where(need, fresh_seed, c["seed"]),
+            bounce=jnp.where(need, 0, b2),
+            k=k2,
+            done=done2,
+            acc_color=acc_color,
+            acc_normal=acc_normal,
+            acc_depth=acc_depth,
+        )
+
+    carry = lax.while_loop(cond, body, carry)
+
+    color = carry["acc_color"].to_array()
+    normal = carry["acc_normal"].to_array()
+    depth = carry["acc_depth"]
+    if local is not None:
+        color = jnp.zeros_like(color).at[local].set(color)
+        normal = jnp.zeros_like(normal).at[local].set(normal)
+        depth = jnp.zeros_like(depth).at[local].set(depth)
+    buffers = RenderBuffers(
+        color=color,
+        normal=normal,
+        depth=depth,
+        iteration=it0 + spp,
+    )
+    return buffers, carry["st"]["rays"]
+
+
 def render_image(
     scene: SceneArrays,
     camera: Camera,
@@ -349,14 +479,22 @@ def render_image(
     intersect_fn=intersect_scene_ids,
     row0=0,
     rows: int | None = None,
+    chain_samples: bool = True,
 ):
     """Render ``spp`` progressive samples (the CLI loop,
     reference src/cli/cli.cpp:96-99).
 
-    Returns (RenderBuffers, total_rays ()).  Jit-compatible: the spp loop is
-    a `lax.fori_loop` for forward rendering and a `lax.scan` when
-    differentiable (so reverse-mode AD can cross it).
+    Returns (RenderBuffers, total_rays ()).  Jit-compatible: forward
+    rendering uses the sample-chained single while_loop (``chain_samples``,
+    bit-identical to the per-sample loop — see _render_chained); the
+    differentiable path is a `lax.scan` over samples (reverse-mode AD
+    cannot cross a while_loop).
     """
+    if chain_samples and not differentiable:
+        return _render_chained(
+            scene, camera, width, height, spp, max_bounces, rr_start,
+            start_iteration, intersect_fn, row0, rows,
+        )
     n = width * (height if rows is None else rows)
     # varying-zero template (see _init_paths note): row0 is the per-tile
     # varying input when sharded, a plain 0 otherwise
