@@ -89,9 +89,12 @@ def _bench_fwd_bwd(scene, camera, width, height, spp, max_bounces, iters):
 
 def main():
     ap = argparse.ArgumentParser()
+    # spp=16 is the headline config: the reference's shipped scenes use
+    # 10-200 spp, and multi-spp is where the sample-chained loop keeps
+    # lanes occupied (spp=1 leaves the tail sweeps mostly dead).
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--spp", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--max-bounces", type=int, default=50)
     ap.add_argument("--rr", type=int, default=8)
     ap.add_argument("--all", action="store_true", help="also run secondary configs (stderr)")
