@@ -41,8 +41,13 @@ from tpupt.core.vec import Vec3
 
 PACKET = 256  # rays per packet (sublane-major dim of the dense math)
 _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
-_LADDER_DIV = 8  # shrink factor per ladder rung (coarse: each rung duplicates the sweep body in the program; compile cost through this environment is minutes per instantiation)
-_LADDER_MIN = 64  # smallest rung (packets)
+# Shrink factor per ladder rung.  Each rung duplicates the sweep body in
+# the program (compile cost ~1s/rung here), and a rung keeps ALL its rows
+# stepping until <= sz/DIV packets remain live — so lockstep waste is
+# bounded by DIV x optimal.  Measured on v5e, bunny 1024^2 spp=4:
+# DIV=8 4.09 Mrays/s, DIV=4 5.03, DIV=2 5.86 (MIN 8 vs 32: no change).
+_LADDER_DIV = 2
+_LADDER_MIN = 32  # smallest rung (packets)
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 
@@ -119,10 +124,14 @@ def intersect_treelets(
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
     )
 
-    lane_l = jnp.arange(L, dtype=jnp.int32)[None, None, :]  # (1, 1, L)
+    # Layout note: the dense MT runs on (sz, L, p) arrays — rays on the
+    # MINOR axis (p=256 = 2 full 128-lane vectors), triangles on sublanes.
+    # The transposed (sz, p, L) layout fills only 32 of 128 lanes with
+    # L=32 leaves (measured 4.3x slower at 1M rays).
+    lane_l = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
 
-    def comp(block, c):  # (sz, 9L) -> (sz, 1, L) component c
-        return block[:, c * L : (c + 1) * L][:, None, :]
+    def comp(block, c):  # (sz, 9L) -> (sz, L, 1) component c
+        return block[:, c * L : (c + 1) * L][:, :, None]
 
     def packet_live(r):
         ent = jnp.min(r["entry"], axis=-1)
@@ -143,10 +152,10 @@ def intersect_treelets(
             e1x, e1y, e1z = comp(block, 3), comp(block, 4), comp(block, 5)
             e2x, e2y, e2z = comp(block, 6), comp(block, 7), comp(block, 8)
 
-            ox, oy, oz = r["rox"][:, :, None], r["roy"][:, :, None], r["roz"][:, :, None]
-            dx, dy, dz = r["rdx"][:, :, None], r["rdy"][:, :, None], r["rdz"][:, :, None]
+            ox, oy, oz = r["rox"][:, None, :], r["roy"][:, None, :], r["roz"][:, None, :]
+            dx, dy, dz = r["rdx"][:, None, :], r["rdy"][:, None, :], r["rdz"][:, None, :]
 
-            # Moller-Trumbore, fully component-wise -> (sz, p, L) scalars
+            # Moller-Trumbore, fully component-wise -> (sz, L, p) scalars
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -163,25 +172,26 @@ def intersect_treelets(
                 (jnp.abs(a) >= MOLLER_EPS)
                 & (u >= 0.0) & (u <= 1.0)
                 & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= r["tmin"][..., None])
-                & (t <= r["t"][..., None])
+                & (t >= r["tmin"][:, None, :])
+                & (t <= r["t"][:, None, :])
                 & live[:, None, None]
             )
             t_masked = jnp.where(ok, t, BIG)
-            j = jnp.argmin(t_masked, axis=-1)  # (sz, p) best slot in treelet
-            t_new = jnp.min(t_masked, axis=-1)
+            j = jnp.argmin(t_masked, axis=1)  # (sz, p) best slot in treelet
+            t_new = jnp.min(t_masked, axis=1)
             got = t_new < BIG
             new_slot = safe_tid[:, None] * L + j
 
             # outward normal = cross(e1, e2) of the winning slot, selected
-            # in-register via a one-hot reduce (no gathers)
-            sel = lane_l == j[..., None]  # (sz, p, L)
-            cnx = e1y * e2z - e1z * e2y  # (sz, 1, L)
+            # in-register via a one-hot reduce (no gathers; the sum has a
+            # single nonzero term, so it is exact)
+            sel = lane_l == j[:, None, :]  # (sz, L, p)
+            cnx = e1y * e2z - e1z * e2y  # (sz, L, 1)
             cny = e1z * e2x - e1x * e2z
             cnz = e1x * e2y - e1y * e2x
-            nwx = jnp.sum(jnp.where(sel, cnx, 0.0), -1)
-            nwy = jnp.sum(jnp.where(sel, cny, 0.0), -1)
-            nwz = jnp.sum(jnp.where(sel, cnz, 0.0), -1)
+            nwx = jnp.sum(jnp.where(sel, cnx, 0.0), 1)
+            nwy = jnp.sum(jnp.where(sel, cny, 0.0), 1)
+            nwz = jnp.sum(jnp.where(sel, cnz, 0.0), 1)
 
             out = dict(r)
             out["entry"] = entry
