@@ -135,8 +135,9 @@ def main():
 
     if args.all:
         try:
-            m2, s2, r2 = _bench_fwd_bwd(scene, camera, 512, 512, 1, 8, max(1, args.iters // 2))
-            print(f"fwd+bwd bunny 512^2 mb=8: {m2:.2f} Mrays/s ({r2} rays in {s2:.3f}s)",
+            # the BASELINE.json metric config: fwd+bwd at 1024^2, 4 spp
+            m2, s2, r2 = _bench_fwd_bwd(scene, camera, 1024, 1024, 4, 8, 1)
+            print(f"fwd+bwd bunny 1024^2 spp=4 mb=8: {m2:.2f} Mrays/s ({r2} rays in {s2:.3f}s)",
                   file=sys.stderr)
         except Exception as e:
             print(f"fwd+bwd bench failed: {e}", file=sys.stderr)

@@ -29,6 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from tpupt.core import camera as cam
 from tpupt.core import vec
@@ -157,7 +158,9 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
         ids2, _ = intersect_fn(
             scene, p, direction, zf + jnp.float32(1e-4), shadow_active
         )
-        lit = shadow_active & (ids2.obj_id == lo)
+        # saved residual: keeps the shadow-ray sweep out of the backward
+        # recompute (see _bounce_body hit_ids note)
+        lit = checkpoint_name(shadow_active & (ids2.obj_id == lo), "hit_ids")
 
         cos_p = jnp.maximum(n.dot(direction), 0.0)
         # cosine-weighted lambertian: f = albedo/pi
@@ -185,6 +188,14 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
 
     ids, fwd = intersect_fn(scene, state["ro"], state["rd"], state["t_min"], alive)
     if use_refine or fwd is None:
+        # Tag the discrete hit ids as checkpoint-saved residuals: under the
+        # differentiable scan's rematerialization policy (trace_sample),
+        # saving these lets XLA dead-code-eliminate the traversal
+        # while_loop from the backward recompute — the sweep is pure
+        # discrete selection under stop_gradient, so only its ids matter.
+        ids = jax.tree_util.tree_map(
+            lambda x: checkpoint_name(x, "hit_ids"), ids
+        )
         hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
     else:
         hit = fwd
@@ -295,8 +306,13 @@ def trace_sample(
 
         _, state = lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
+        # Rematerialized bounce scan: O(1) live memory in bounce count, but
+        # SAVE the discrete hit ids — with them as residuals the backward
+        # recompute drops the (expensive, non-differentiable) traversal
+        # sweeps entirely and only re-runs the closed-form shading math.
+        policy = jax.checkpoint_policies.save_only_these_names("hit_ids")
 
-        @jax.checkpoint
+        @partial(jax.checkpoint, policy=policy)
         def body(st, b):
             return (
                 _bounce_body(

@@ -231,18 +231,52 @@ def intersect_scene_ids_bvh(
     return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), None
 
 
-class _LaneMat:
-    """Per-lane 4x4 matrix as 16 component-gathered (N,) arrays.
+# Per-lane dynamic gathers are the expensive primitive on TPU (~2.3 ms
+# per 1M lanes each, DESIGN.md).  For per-OBJECT tables — a handful of
+# rows — a one-hot matmul fetches all columns in one MXU pass, and its
+# TRANSPOSE is again a matmul (the VJP of a gather is a scatter-add,
+# which is far slower still).  Measured: refine_hit fwd 38 ms -> ~12 ms
+# at 262k lanes.  Precision.HIGHEST keeps the fetch exact (the default
+# TPU f32 matmul decomposes through bf16 and perturbs values).
+_ONEHOT_MAX_ROWS = 512
 
-    Gathering `obj_m[idx]` directly materializes an (N, 4, 4) array whose
-    4-wide minor axis pads to the 128-lane vector width on TPU; gathering
-    each entry from a transposed (16, O) table keeps everything (N,)-shaped
-    and full-width.  Supports the `m[..., i, j]` protocol the vec transforms
-    use."""
+
+def _rows_by_onehot(table2d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(O, D) table, (N,) int idx -> (D, N) columns via one-hot matmul.
+
+    The result keeps N on the MINOR axis (full 128-lane vectors); a
+    (N, D)-shaped result with tiny D would waste 128-D lanes on every
+    downstream slice (the core/vec.py layout rule)."""
+    o = table2d.shape[0]
+    onehot = (jnp.arange(o, dtype=idx.dtype)[:, None] == idx[None, :]).astype(
+        table2d.dtype
+    )  # (O, N)
+    return lax.dot_general(
+        table2d.T,
+        onehot,
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=table2d.dtype,
+    )  # (D, N)
+
+
+class _LaneMat:
+    """Per-lane 4x4 matrix as 16 (N,) component columns.
+
+    Fetched with one one-hot matmul over the (O, 16) object-matrix table
+    (see _rows_by_onehot) when the table is small, else 16 per-entry
+    gathers from the transposed table — never `obj_m[idx]`, whose (N,4,4)
+    result wastes 124 of 128 vector lanes on the minor axis.  Supports the
+    `m[..., i, j]` protocol the vec transforms use."""
 
     def __init__(self, table: jnp.ndarray, idx: jnp.ndarray):
-        cols = table.reshape(-1, 16).T  # (16, O) — tiny, transposed once
-        self._e = [cols[k][idx] for k in range(16)]
+        flat = table.reshape(-1, 16)  # (O, 16)
+        if flat.shape[0] <= _ONEHOT_MAX_ROWS:
+            rows = _rows_by_onehot(flat, idx)  # (16, N)
+            self._e = [rows[k] for k in range(16)]
+        else:
+            cols = flat.T  # (16, O)
+            self._e = [cols[k][idx] for k in range(16)]
 
     def __getitem__(self, key):
         ell, i, j = key  # (..., i, j)
@@ -272,12 +306,22 @@ def refine_hit(
 
     # --- sphere branch -------------------------------------------------
     s_prim = jnp.where(ids.kind == PRIM_SPHERE, safe_prim, 0)
-    center = Vec3(
-        scene.sphere_center[:, 0][s_prim],
-        scene.sphere_center[:, 1][s_prim],
-        scene.sphere_center[:, 2][s_prim],
-    )
-    radius = scene.sphere_radius[s_prim]
+    if scene.sphere_radius.shape[0] <= _ONEHOT_MAX_ROWS:
+        sph = _rows_by_onehot(
+            jnp.concatenate(
+                [scene.sphere_center, scene.sphere_radius[:, None]], axis=1
+            ),
+            s_prim,
+        )  # (4, N)
+        center = Vec3(sph[0], sph[1], sph[2])
+        radius = sph[3]
+    else:
+        center = Vec3(
+            scene.sphere_center[:, 0][s_prim],
+            scene.sphere_center[:, 1][s_prim],
+            scene.sphere_center[:, 2][s_prim],
+        )
+        radius = scene.sphere_radius[s_prim]
     oo = vec.transform_point(inv_m, ro)
     od = vec.transform_vector(inv_m, rd).normalize()
     oc = oo - center
@@ -302,20 +346,52 @@ def refine_hit(
     sp_normal = vec.transform_normal(inv_m, sp_normal_obj)
 
     # --- triangle branch ----------------------------------------------
+    # Per-lane gathers SERIALIZE on TPU (~7.7 ns/lane each — measured
+    # 23 ms for 12 of them at 262k lanes), so the per-lane
+    # vertex-index + component gathers of the naive formulation dominate
+    # the whole fwd+bwd step.  Instead: build a differentiable
+    # per-instance WORLD-space triangle table in O(T) from
+    # scene.positions (identical elementwise math, so identical values),
+    # then fetch each lane's winner with ONE packed row gather.
     t_prim = jnp.where(ids.kind == PRIM_TRIANGLE, safe_prim, 0)
-    # component gathers keep every array (N,)-shaped (see _LaneMat note)
-    i0 = scene.tri_idx[:, 0][t_prim]
-    i1 = scene.tri_idx[:, 1][t_prim]
-    i2 = scene.tri_idx[:, 2][t_prim]
-    px, py, pz = scene.positions[:, 0], scene.positions[:, 1], scene.positions[:, 2]
-    vp0 = Vec3(px[i0], py[i0], pz[i0])
-    vp1 = Vec3(px[i1], py[i1], pz[i1])
-    vp2 = Vec3(px[i2], py[i2], pz[i2])
-    p0 = vec.transform_point(m, vp0)
-    p1 = vec.transform_point(m, vp1)
-    p2 = vec.transform_point(m, vp2)
-    e1 = p1 - p0
-    e2 = p2 - p0
+    mesh_objs = [o for o, k in enumerate(scene.s_obj_kind) if k == OBJ_MESH]
+    if mesh_objs:
+        px, py, pz = scene.positions[:, 0], scene.positions[:, 1], scene.positions[:, 2]
+        pool = Vec3(px, py, pz)
+        blocks = []
+        adj = [0] * len(scene.s_obj_kind)
+        base = 0
+        for o in mesh_objs:
+            mid = scene.s_obj_prim[o]
+            lo, hi = scene.s_mesh_tri_range[mid]
+            wp = vec.transform_point(scene.obj_m[o], pool)  # (V,) world comps
+            tri = scene.tri_idx[lo:hi]
+            i0t, i1t, i2t = tri[:, 0], tri[:, 1], tri[:, 2]
+            wp0 = Vec3(wp.x[i0t], wp.y[i0t], wp.z[i0t])
+            wp1 = Vec3(wp.x[i1t], wp.y[i1t], wp.z[i1t])
+            wp2 = Vec3(wp.x[i2t], wp.y[i2t], wp.z[i2t])
+            we1, we2 = wp1 - wp0, wp2 - wp0
+            blocks.append(jnp.stack(
+                [wp0.x, wp0.y, wp0.z, we1.x, we1.y, we1.z, we2.x, we2.y, we2.z],
+                axis=1,
+            ))  # (Ti, 9)
+            adj[o] = base - lo
+            base += hi - lo
+        wtab = jnp.concatenate(blocks, axis=0)  # (M, 9)
+        # per-lane row index: instance base + global tri id (adjustment
+        # fetched by one-hot matmul — exact for these small ints)
+        adj_lane = _rows_by_onehot(
+            jnp.asarray(adj, jnp.float32)[:, None], safe_obj
+        )[0].astype(jnp.int32)
+        rows = wtab[adj_lane + t_prim]  # (N, 9): the ONE per-lane gather
+        p0 = Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+        e1 = Vec3(rows[:, 3], rows[:, 4], rows[:, 5])
+        e2 = Vec3(rows[:, 6], rows[:, 7], rows[:, 8])
+    else:
+        zf = ro.x * 0.0
+        p0 = Vec3(zf, zf, zf)
+        e1 = Vec3(zf, zf + 1.0, zf)
+        e2 = Vec3(zf, zf, zf + 1.0)
     h = rd.cross(e2)
     det = e1.dot(h)
     f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
