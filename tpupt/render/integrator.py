@@ -129,13 +129,9 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
 
     The shadow test asks "is the closest hit along the sampled direction
     the light itself?" — robust against self-shadowing epsilons."""
-    mats = scene.materials
-    mtype = mats.mat_type[hit.mat_id]
-    albedo = Vec3(
-        mats.albedo[:, 0][hit.mat_id],
-        mats.albedo[:, 1][hit.mat_id],
-        mats.albedo[:, 2][hit.mat_id],
-    )
+    from tpupt.render.materials import _material_rows
+
+    mtype, albedo, _fuzz, _ior, _emit = _material_rows(scene, hit.mat_id)
     n = hit.normal
     diffuse = alive & hit.mask & (mtype == MAT_DIFFUSE)
     # offset origin against the surface (same epsilon as the scatter)

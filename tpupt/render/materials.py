@@ -39,6 +39,46 @@ from tpupt.sampling.rng import bounce_counter, uniform
 from tpupt.sampling.sphere import random_in_unit_sphere
 
 
+def _material_rows(scene: SceneArrays, mat_id: jnp.ndarray):
+    """All material fields for every lane via ONE one-hot matmul.
+
+    Per-lane gathers serialize on TPU (~7.7 ns/lane each); the 9 separate
+    table fetches of the naive SoA formulation cost 9x this single
+    (10, M) @ (M, N) MXU contraction.  The one-hot operand is exact 0/1
+    and Precision.HIGHEST keeps the f32 data unperturbed; the int type
+    tag round-trips exactly through f32 (values < 2^24).
+
+    Returns (mat_type (N,) i32, albedo Vec3, fuzz (N,), ior (N,),
+    emission Vec3)."""
+    mats = scene.materials
+    table = jnp.concatenate(
+        [
+            mats.mat_type.astype(jnp.float32)[:, None],
+            mats.albedo,
+            mats.fuzz[:, None],
+            mats.ior[:, None],
+            mats.emission,
+        ],
+        axis=1,
+    )  # (M, 10)
+    m = table.shape[0]
+    onehot = (
+        jnp.arange(m, dtype=mat_id.dtype)[:, None] == mat_id[None, :]
+    ).astype(jnp.float32)  # (M, N)
+    rows = jax.lax.dot_general(
+        table.T,
+        onehot,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (10, N) — lanes on the minor axis
+    mtype = rows[0].astype(jnp.int32)
+    albedo = Vec3(rows[1], rows[2], rows[3])
+    fuzz, ior = rows[4], rows[5]
+    emission = Vec3(rows[6], rows[7], rows[8])
+    return mtype, albedo, fuzz, ior, emission
+
+
 def _schlick(cosine, ref_idx):
     """Schlick reflectance (reference src/lib/path_tracer.cu:130-136)."""
     r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
@@ -64,16 +104,7 @@ def shade(
     material absorbs the path (emissive lights don't scatter).  Callers
     mask by hit.mask; lanes that missed get garbage here (cheap, ignored).
     """
-    mats = scene.materials
-    mtype = mats.mat_type[hit.mat_id]
-    # column-first gathers keep everything (N,)-shaped (core/vec.py note)
-    albedo = Vec3(
-        mats.albedo[:, 0][hit.mat_id],
-        mats.albedo[:, 1][hit.mat_id],
-        mats.albedo[:, 2][hit.mat_id],
-    )
-    fuzz = mats.fuzz[hit.mat_id]
-    ior = mats.ior[hit.mat_id]
+    mtype, albedo, fuzz, ior, emitted_all = _material_rows(scene, hit.mat_id)
     n = hit.normal
 
     sphere_s = random_in_unit_sphere(seed, bounce)
@@ -121,13 +152,8 @@ def shade(
     mult = vec.where(is_diff, albedo, vec.where(is_metal, metal_mult, one))
     new_throughput = throughput * mult
 
-    emitted = Vec3(
-        mats.emission[:, 0][hit.mat_id],
-        mats.emission[:, 1][hit.mat_id],
-        mats.emission[:, 2][hit.mat_id],
-    )
     zero3 = Vec3(jnp.zeros_like(fuzz), jnp.zeros_like(fuzz), jnp.zeros_like(fuzz))
-    emitted = vec.where(is_emis, emitted, zero3)
+    emitted = vec.where(is_emis, emitted_all, zero3)
     # `specular` feeds NEE double-count suppression: emission seen through
     # a diffuse-sampled ray is already accounted for by the light sample
     specular = is_metal | is_diel
