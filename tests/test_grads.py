@@ -50,6 +50,37 @@ def test_background_grad_matches_fd(sphere_scene, camera):
         assert abs(float(g[1]) - fd) < 2e-3 * max(1.0, abs(fd))
 
 
+def test_vertex_position_grad_matches_fd(full_scene, camera):
+    """Vertex-position gradients (BASELINE north star: grads w.r.t.
+    vertex positions) against central finite differences.
+
+    A color loss over the whole frame is FD-hostile: its true derivative
+    is dominated by discrete silhouette flips, which the estimator
+    intentionally treats as locally constant (stop_gradient on hit ids).
+    The smooth, checkable quantity is an INTERIOR hit's depth — it moves
+    continuously with the winning triangle's vertices and no id flips."""
+    # center pixel looks straight at the icosphere mesh in full_scene
+    center = (H // 2) * W + W // 2
+
+    def depth_at_center(p):
+        buf, _ = render_image(
+            full_scene.replace(positions=p), camera, W, H, 1,
+            max_bounces=2, differentiable=True,
+        )
+        return buf.depth[center]
+
+    p0 = full_scene.positions
+    g = jax.grad(depth_at_center)(p0)
+    ga = np.abs(np.asarray(g))
+    assert ga.max() > 0  # the center pixel does hit the mesh
+    idx = np.unravel_index(np.argmax(ga), ga.shape)  # a hit-tri vertex
+    eps = 3e-4
+    lp = depth_at_center(p0.at[idx].add(eps))
+    lm = depth_at_center(p0.at[idx].add(-eps))
+    fd = float((lp - lm) / (2 * eps))
+    assert abs(float(g[idx]) - fd) < 5e-2 * max(0.1, abs(fd))
+
+
 def test_geometry_grads_finite(full_scene, camera):
     g = jax.grad(lambda s: _loss(s, camera), allow_int=True)(full_scene)
     for leaf in (g.sphere_center, g.sphere_radius, g.positions,
