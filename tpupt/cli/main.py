@@ -80,6 +80,10 @@ def main(argv=None) -> int:
         desc.resolution = (int(w), int(h))
     width, height = desc.resolution
 
+    # Backend attach is its own stage: through a TPU relay the first
+    # device contact can take minutes and must not masquerade as scene
+    # parsing time (parsing itself is pure host numpy).
+    sw.stage("Device init")
     import jax
 
     print(f"devices: {jax.devices()}")

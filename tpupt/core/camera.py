@@ -32,13 +32,15 @@ def make_camera(position=(0.0, 0.0, 0.0), rotation=None, vfov=np.pi / 2) -> Came
     if rotation is not None:
         m[:3, :3] = np.asarray(rotation, np.float32)
     m[:3, 3] = np.asarray(position, np.float32)
-    return Camera(camera_matrix=jnp.asarray(m), vfov=jnp.float32(vfov))
+    # numpy leaves on purpose: cameras are built during scene loading,
+    # which must not attach the device backend (jit converts at call time)
+    return Camera(camera_matrix=m, vfov=np.float32(vfov))
 
 
 def camera_from_matrix(camera_to_world, vfov) -> Camera:
     return Camera(
-        camera_matrix=jnp.asarray(camera_to_world, jnp.float32),
-        vfov=jnp.float32(vfov),
+        camera_matrix=np.asarray(camera_to_world, np.float32),
+        vfov=np.float32(vfov),
     )
 
 

@@ -123,47 +123,77 @@ def transform_aabb(m: jnp.ndarray, bmin: jnp.ndarray, bmax: jnp.ndarray):
     return jnp.min(pts, axis=0), jnp.max(pts, axis=0)
 
 
-# --- matrix constructors (host-side, numpy-compatible) ---------------------
+# --- matrix constructors (host-side, PURE NUMPY) ---------------------------
+# Scene parsing/building must never touch the device: through a TPU relay
+# every eager jnp op costs a ~6 ms dispatch and the FIRST one pays the
+# whole backend attach (minutes) — measured as a 124 s "scene load" for a
+# 4-sphere JSON before these became numpy.
+
+import numpy as _np
 
 
-def mat_translate(t) -> jnp.ndarray:
-    m = jnp.eye(4)
-    return m.at[:3, 3].set(jnp.asarray(t, jnp.float32))
+def _np_normalize(v):
+    v = _np.asarray(v, _np.float64)
+    return v / max(float(_np.linalg.norm(v)), 1e-30)
 
 
-def mat_scale(s) -> jnp.ndarray:
-    s = jnp.broadcast_to(jnp.asarray(s, jnp.float32), (3,))
-    return jnp.diag(jnp.concatenate([s, jnp.ones((1,), jnp.float32)]))
+def mat_translate(t) -> _np.ndarray:
+    m = _np.eye(4, dtype=_np.float32)
+    m[:3, 3] = _np.asarray(t, _np.float32)
+    return m
 
 
-def mat_rotate(angle_rad: float, axis) -> jnp.ndarray:
+def mat_scale(s) -> _np.ndarray:
+    s = _np.broadcast_to(_np.asarray(s, _np.float32), (3,))
+    return _np.diag(_np.concatenate([s, _np.ones((1,), _np.float32)]))
+
+
+def mat_rotate(angle_rad: float, axis) -> _np.ndarray:
     """Axis-angle rotation (glm::rotate semantics)."""
-    axis = normalize(jnp.asarray(axis, jnp.float32))
-    x, y, z = axis[0], axis[1], axis[2]
-    c, s = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    x, y, z = _np_normalize(axis)
+    c, s = _np.cos(angle_rad), _np.sin(angle_rad)
     C = 1.0 - c
-    r = jnp.array(
+    return _np.array(
         [
             [c + x * x * C, x * y * C - z * s, x * z * C + y * s, 0.0],
             [y * x * C + z * s, c + y * y * C, y * z * C - x * s, 0.0],
             [z * x * C - y * s, z * y * C + x * s, c + z * z * C, 0.0],
             [0.0, 0.0, 0.0, 1.0],
         ],
-        dtype=jnp.float32,
+        dtype=_np.float32,
     )
-    return r
 
 
-def mat_look_at(from_, at, up) -> jnp.ndarray:
+def mat_look_at(from_, at, up) -> _np.ndarray:
     """Camera-to-world from from/at/up, matching the reference's JSON
     'from/at/up' transform (src/lib/assets/json_parser.cpp:55-75): columns
     are [left, new_up, dir, from] with dir = normalize(from - at)."""
-    from_ = jnp.asarray(from_, jnp.float32)
-    at = jnp.asarray(at, jnp.float32)
-    up = jnp.asarray(up, jnp.float32)
-    dir_ = normalize(from_ - at)
-    left = normalize(cross(up, dir_))
-    new_up = normalize(cross(dir_, left))
-    m = jnp.stack([left, new_up, dir_, from_], axis=1)  # columns
-    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
-    return jnp.concatenate([m, bottom], axis=0)
+    from_ = _np.asarray(from_, _np.float64)
+    dir_ = _np_normalize(from_ - _np.asarray(at, _np.float64))
+    left = _np_normalize(_np.cross(_np.asarray(up, _np.float64), dir_))
+    new_up = _np_normalize(_np.cross(dir_, left))
+    m = _np.stack([left, new_up, dir_, from_], axis=1)  # columns
+    return _np.concatenate(
+        [m, _np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0
+    ).astype(_np.float32)
+
+
+def transform_aabb_np(m, bmin, bmax):
+    """Numpy twin of transform_aabb for host-side scene building."""
+    import itertools
+
+    m = _np.asarray(m, _np.float64)
+    bmin = _np.asarray(bmin, _np.float64)
+    bmax = _np.asarray(bmax, _np.float64)
+    pts = []
+    for sx, sy, sz in itertools.product([0, 1], repeat=3):
+        c = _np.array(
+            [
+                bmax[0] if sx else bmin[0],
+                bmax[1] if sy else bmin[1],
+                bmax[2] if sz else bmin[2],
+            ]
+        )
+        pts.append(m[:3, :3] @ c + m[:3, 3])
+    pts = _np.stack(pts, axis=0)
+    return pts.min(axis=0), pts.max(axis=0)

@@ -227,13 +227,11 @@ class SceneDescription:
                 md = self._meshes[key]
                 obj_kind.append(OBJ_MESH)
                 obj_prim.append(mesh_index[key])
-                bmin, bmax = math3d.transform_aabb(
-                    jnp.asarray(transform, jnp.float32),
-                    jnp.asarray(md.aabb_min),
-                    jnp.asarray(md.aabb_max),
+                bmin, bmax = math3d.transform_aabb_np(
+                    transform, md.aabb_min, md.aabb_max
                 )
-                obj_bmin.append(np.asarray(bmin, np.float64))
-                obj_bmax.append(np.asarray(bmax, np.float64))
+                obj_bmin.append(bmin)
+                obj_bmax.append(bmax)
         if not sph_c:
             sph_c.append(np.array([1e9, 1e9, 1e9]))
             sph_r.append(0.0)
