@@ -33,8 +33,8 @@ def test_pallas_sweep_matches_xla_sweep():
     t_seed = jnp.full((n,), 3.0e38)
     active = jnp.ones((n,), bool)
 
-    t_x, slot_x, n_x = intersect_treelets(scene, ro, rd, t_min, t_seed, active)
-    t_p, slot_p, n_p = intersect_treelets_pallas(
+    t_x, slot_x = intersect_treelets(scene, ro, rd, t_min, t_seed, active)
+    t_p, slot_p = intersect_treelets_pallas(
         scene, ro, rd, t_min, t_seed, active, interpret=True
     )
 
@@ -46,7 +46,3 @@ def test_pallas_sweep_matches_xla_sweep():
         np.asarray(t_p)[hit_p], np.asarray(t_x)[hit_x], rtol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(slot_p)[hit_p], np.asarray(slot_x)[hit_x])
-    for a, b in ((n_p.x, n_x.x), (n_p.y, n_x.y), (n_p.z, n_x.z)):
-        np.testing.assert_allclose(
-            np.asarray(a)[hit_p], np.asarray(b)[hit_x], rtol=1e-6, atol=1e-7
-        )

@@ -62,9 +62,10 @@ def intersect_treelets(
 ):
     """Closest mesh hit for every ray.
 
-    Returns (t (N,), slot (N,) global treelet-slot id or -1, outward normal
-    Vec3).  Map the slot to (triangle, object, material) with
-    scene.slot_src / slot_obj / slot_mat.
+    Returns (t (N,), slot (N,) global treelet-slot id or -1).  Map the
+    slot to (outward normal, triangle, object, material) with ONE row
+    gather of scene.slot_pack — per-lane gathers serialize on TPU, so
+    winner metadata is fetched once per bounce, never inside the sweep.
     """
     n = ro.x.shape[0]
     L = scene.s_leaf_size
@@ -118,7 +119,6 @@ def intersect_treelets(
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
     rows["slot"] = zero_p.astype(jnp.int32) - 1
-    rows["nx"], rows["ny"], rows["nz"] = zero_p, zero_p, zero_p
     # original packet index, for the final un-permutation
     rows["src"] = (
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
@@ -128,8 +128,6 @@ def intersect_treelets(
     # MINOR axis (p=256 = 2 full 128-lane vectors), triangles on sublanes.
     # The transposed (sz, p, L) layout fills only 32 of 128 lanes with
     # L=32 leaves (measured 4.3x slower at 1M rays).
-    lane_l = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
-
     def comp(block, c):  # (sz, 9L) -> (sz, L, 1) component c
         return block[:, c * L : (c + 1) * L][:, :, None]
 
@@ -182,24 +180,10 @@ def intersect_treelets(
             got = t_new < BIG
             new_slot = safe_tid[:, None] * L + j
 
-            # outward normal = cross(e1, e2) of the winning slot, selected
-            # in-register via a one-hot reduce (no gathers; the sum has a
-            # single nonzero term, so it is exact)
-            sel = lane_l == j[:, None, :]  # (sz, L, p)
-            cnx = e1y * e2z - e1z * e2y  # (sz, L, 1)
-            cny = e1z * e2x - e1x * e2z
-            cnz = e1x * e2y - e1y * e2x
-            nwx = jnp.sum(jnp.where(sel, cnx, 0.0), 1)
-            nwy = jnp.sum(jnp.where(sel, cny, 0.0), 1)
-            nwz = jnp.sum(jnp.where(sel, cnz, 0.0), 1)
-
             out = dict(r)
             out["entry"] = entry
             out["t"] = jnp.where(got, t_new, r["t"])
             out["slot"] = jnp.where(got, new_slot, r["slot"])
-            out["nx"] = jnp.where(got, nwx, r["nx"])
-            out["ny"] = jnp.where(got, nwy, r["ny"])
-            out["nz"] = jnp.where(got, nwz, r["nz"])
             return out
 
         return step
@@ -243,9 +227,4 @@ def intersect_treelets(
     src = full["src"]  # (np,) original packet id of each row
     t_best = jnp.zeros((np_, p)).at[src].set(full["t"]).reshape(-1)
     slot_best = jnp.zeros((np_, p), jnp.int32).at[src].set(full["slot"]).reshape(-1)
-    nx = jnp.zeros((np_, p)).at[src].set(full["nx"]).reshape(-1)
-    ny = jnp.zeros((np_, p)).at[src].set(full["ny"]).reshape(-1)
-    nz = jnp.zeros((np_, p)).at[src].set(full["nz"]).reshape(-1)
-
-    normal = Vec3(nx[:n], ny[:n], nz[:n])
-    return t_best[:n], slot_best[:n], normal
+    return t_best[:n], slot_best[:n]

@@ -60,7 +60,6 @@ def _sweep_kernel(
     tre_ref,  # (Kp, 9L) packed treelet triangle blocks (component-major)
     t_out,  # (G, P)
     slot_out,  # (G, P) i32
-    nx_out, ny_out, nz_out,  # (G, P) winner outward normal (unnormalized)
     *,
     leaf: int,
 ):
@@ -73,7 +72,6 @@ def _sweep_kernel(
     tmin = tmin_ref[...]
     tre = tre_ref[...]  # (Kp, 9L), VMEM-resident
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (G, kp), 1)
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (G, L, 1), 1)
 
     def live_rows(entry, t_best):
         ent = jnp.min(entry, axis=1)  # (G,)
@@ -84,7 +82,7 @@ def _sweep_kernel(
         return (i < kp) & jnp.any(live_rows(entry, t_best))
 
     def body(state):
-        i, entry, t_best, slot_best, nxb, nyb, nzb = state
+        i, entry, t_best, slot_best = state
         tid = jnp.argmin(entry, axis=1).astype(jnp.int32)  # (G,)
         live = live_rows(entry, t_best)
         onehot = iota_k == tid[:, None]  # (G, Kp)
@@ -140,31 +138,15 @@ def _sweep_kernel(
         got = t_new < _BIG
         t_best = jnp.where(got, t_new, t_best)
         slot_best = jnp.where(got, tid[:, None] * L + j.astype(jnp.int32), slot_best)
-
-        # winner outward normal via single-nonzero one-hot reduce (exact)
-        sel = lane_l == j[:, None, :]  # (G, L, P)
-        cnx = e1y * e2z - e1z * e2y  # (G, L, 1)
-        cny = e1z * e2x - e1x * e2z
-        cnz = e1x * e2y - e1y * e2x
-        nxw = jnp.sum(jnp.where(sel, cnx, 0.0), axis=1)
-        nyw = jnp.sum(jnp.where(sel, cny, 0.0), axis=1)
-        nzw = jnp.sum(jnp.where(sel, cnz, 0.0), axis=1)
-        nxb = jnp.where(got, nxw, nxb)
-        nyb = jnp.where(got, nyw, nyb)
-        nzb = jnp.where(got, nzw, nzb)
-        return i + 1, entry, t_best, slot_best, nxb, nyb, nzb
+        return i + 1, entry, t_best, slot_best
 
     t0 = tseed_ref[...]
-    zero = jnp.zeros_like(t0)
     slot0 = jnp.full(t0.shape, -1, jnp.int32)
-    _, _, t_best, slot_best, nxb, nyb, nzb = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), entry_ref[...], t0, slot0, zero, zero, zero)
+    _, _, t_best, slot_best = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), entry_ref[...], t0, slot0)
     )
     t_out[...] = t_best
     slot_out[...] = slot_best
-    nx_out[...] = nxb
-    ny_out[...] = nyb
-    nz_out[...] = nzb
 
 
 def intersect_treelets_pallas(
@@ -177,7 +159,8 @@ def intersect_treelets_pallas(
     interpret: bool = False,
 ):
     """Pallas twin of accel/packets.intersect_treelets: returns
-    (t (N,), slot (N,), outward normal Vec3) with identical semantics."""
+    (t (N,), slot (N,)) with identical semantics (winner metadata is
+    fetched from scene.slot_pack by the caller, same as the XLA path)."""
     n = ro.x.shape[0]
     L = scene.s_leaf_size
     K = scene.tre_min.shape[0]
@@ -237,7 +220,7 @@ def intersect_treelets_pallas(
     kernel = functools.partial(_sweep_kernel, leaf=L)
     row_spec = pl.BlockSpec((_GROUP, p), lambda i: (i, 0))
     grid = (np_ // _GROUP,)
-    t_best, slot, nx, ny, nz = pl.pallas_call(
+    t_best, slot = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -248,16 +231,12 @@ def intersect_treelets_pallas(
             row_spec,  # tseed
             pl.BlockSpec((kp, 9 * L), lambda i: (0, 0)),  # treelet table
         ],
-        out_specs=[row_spec, row_spec, row_spec, row_spec, row_spec],
+        out_specs=[row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((np_, p), jnp.float32),
             jax.ShapeDtypeStruct((np_, p), jnp.int32),
-            jax.ShapeDtypeStruct((np_, p), jnp.float32),
-            jax.ShapeDtypeStruct((np_, p), jnp.float32),
-            jax.ShapeDtypeStruct((np_, p), jnp.float32),
         ],
         interpret=interpret,
     )(entry, rox_p, roy_p, roz_p, rdx_p, rdy_p, rdz_p, tmin_p, tseed_p, tre)
 
-    normal = Vec3(nx.reshape(-1)[:n], ny.reshape(-1)[:n], nz.reshape(-1)[:n])
-    return t_best.reshape(-1)[:n], slot.reshape(-1)[:n], normal
+    return t_best.reshape(-1)[:n], slot.reshape(-1)[:n]

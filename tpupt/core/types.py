@@ -121,6 +121,13 @@ class SceneArrays:
     slot_src: jnp.ndarray  # (K*L,) i32 — original global tri id, -1 pad
     slot_obj: jnp.ndarray  # (K*L,) i32 — owning object id, -1 pad
     slot_mat: jnp.ndarray  # (K*L,) i32 — material id per slot (0 for pad)
+    # Packed winner-fetch table: [cn.x, cn.y, cn.z, src, obj, mat, 0, 0]
+    # per slot, cn = unnormalized cross(e1, e2).  Per-lane gathers
+    # SERIALIZE on TPU, so the per-bounce hit record is fetched with ONE
+    # row gather from this table instead of 3 metadata gathers plus an
+    # in-loop one-hot normal reduce (together ~50% of a render before
+    # this existed — see DESIGN.md).  Ids ride as exact small-int f32.
+    slot_pack: jnp.ndarray  # (K*L, 8) f32
 
     materials: Materials
 

@@ -155,24 +155,27 @@ def intersect_scene_ids(
     )
 
     if any(k == OBJ_MESH for k in scene.s_obj_kind):
-        t_mesh, slot, n_out = intersect_treelets(scene, ro, rd, t_min, t_best, active)
+        t_mesh, slot = intersect_treelets(scene, ro, rd, t_min, t_best, active)
         take = slot >= 0
         safe = jnp.maximum(slot, 0)
         t_best = jnp.where(take, t_mesh, t_best)
         kind = jnp.where(take, PRIM_TRIANGLE, kind)
-        obj_id = jnp.where(take, scene.slot_obj[safe], obj_id)
-        prim_id = jnp.where(take, scene.slot_src[safe], prim_id)
+        # ONE packed row gather fetches the winner's unnormalized normal
+        # and (tri, obj, mat) ids (core/types.SceneArrays.slot_pack note)
+        pk = scene.slot_pack[safe]  # (N, 8)
+        obj_id = jnp.where(take, pk[:, 4].astype(jnp.int32), obj_id)
+        prim_id = jnp.where(take, pk[:, 3].astype(jnp.int32), prim_id)
         # forward triangle hit record (reference semantics:
         # point = ray(t), outward = normalize(cross(e1, e2)), side flip —
-        # src/lib/intersections.cuh:71-82) from in-register sweep outputs
-        outward = n_out.normalize()
+        # src/lib/intersections.cuh:71-82)
+        outward = Vec3(pk[:, 0], pk[:, 1], pk[:, 2]).normalize()
         tri_front = rd.dot(outward) < 0.0
         tri_normal = vec.where(tri_front, outward, -outward)
         tri_point = ro + rd * t_mesh
         point = vec.where(take, tri_point, point)
         normal = vec.where(take, tri_normal, normal)
         front = jnp.where(take, tri_front, front)
-        mat = jnp.where(take, scene.slot_mat[safe], mat)
+        mat = jnp.where(take, pk[:, 5].astype(jnp.int32), mat)
 
     mask = kind != PRIM_NONE
     fwd = Hit(

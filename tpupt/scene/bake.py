@@ -65,4 +65,10 @@ def rebake_treelets(scene: SceneArrays) -> SceneArrays:
     tre_min = jnp.stack([vx0, vy0, vz0], axis=1)
     tre_max = jnp.stack([vx1, vy1, vz1], axis=1)
 
-    return scene.replace(tre_tris=tre_tris, tre_min=tre_min, tre_max=tre_max)
+    # refresh the packed winner-fetch normals (ids are topology, unchanged)
+    cn = e1.cross(e2)
+    slot_pack = scene.slot_pack.at[:, 0].set(cn.x).at[:, 1].set(cn.y).at[:, 2].set(cn.z)
+
+    return scene.replace(
+        tre_tris=tre_tris, tre_min=tre_min, tre_max=tre_max, slot_pack=slot_pack
+    )

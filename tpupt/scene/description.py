@@ -39,6 +39,35 @@ from tpupt.core.types import (
 from tpupt.core import math3d
 
 
+def _build_slot_pack(treelets, slot_mat) -> np.ndarray:
+    """(K*L, 8) packed winner-fetch rows: [cross(e1,e2), src, obj, mat, 0, 0].
+
+    One per-lane row gather of this table replaces the per-bounce slot
+    metadata gathers and the sweep's in-loop one-hot normal reduction
+    (per-lane gathers serialize on TPU — core/types.SceneArrays note).
+    The cross uses the same single-rounded f32 ops as the device math.
+    """
+    L = treelets.leaf_size
+    K = treelets.tre_min.shape[0]
+    comps = treelets.tre_tris.reshape(K, 9, L).transpose(0, 2, 1).reshape(K * L, 9)
+    e1 = comps[:, 3:6].astype(np.float32)
+    e2 = comps[:, 6:9].astype(np.float32)
+    cn = np.stack(
+        [
+            e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1],
+            e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2],
+            e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    pack = np.zeros((K * L, 8), np.float32)
+    pack[:, :3] = cn
+    pack[:, 3] = treelets.slot_src.astype(np.float32)
+    pack[:, 4] = np.maximum(treelets.slot_obj, 0).astype(np.float32)
+    pack[:, 5] = np.asarray(slot_mat, np.float32)
+    return pack
+
+
 def _np_transform_point(m, p):
     v = m @ np.append(p, 1.0)
     return v[:3] / v[3]
@@ -302,6 +331,13 @@ class SceneDescription:
             slot_mat=i32(
                 np.asarray(obj_mat)[np.maximum(treelets.slot_obj, 0)]
                 * (treelets.slot_obj >= 0)
+            ),
+            slot_pack=f32(
+                _build_slot_pack(
+                    treelets,
+                    np.asarray(obj_mat)[np.maximum(treelets.slot_obj, 0)]
+                    * (treelets.slot_obj >= 0),
+                )
             ),
             materials=Materials(
                 mat_type=i32(mtypes),
