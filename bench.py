@@ -141,6 +141,19 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
+        # remaining BASELINE configs via the full harness
+        from tpupt.bench.harness import run_config
+
+        for cfg in ("sphere", "cornell", "multimesh"):
+            try:
+                r = run_config(cfg, iters=2)
+                print(
+                    f"{cfg}: {r.mrays_per_sec:.2f} Mrays/s "
+                    f"({r.rays} rays in {r.seconds:.3f}s) {r.extra}",
+                    file=sys.stderr,
+                )
+            except Exception as e:
+                print(f"{cfg} bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(
