@@ -18,14 +18,20 @@ def _gen_bunny():
 
 
 def _gen_ajax():
-    # "bust"-scale stand-in: tall dense blob (~20k tris like a decimated scan)
+    # "bust"-scale stand-in: tall dense blob (~20k tris like a decimated
+    # scan).  RAW coordinates match the real ajax.obj the reference scene
+    # was tuned for: ajax-white.json bakes translate(+17.28 z) + scale 0.2
+    # with the camera looking at (0, 3.5, 0), which implies the scan is
+    # centered near raw (0.05, 17.5, -17.28) and ~28 units tall.
     import numpy as np
 
     v, f = procedural.icosphere(4, 1.0)
     x, y, z = v[:, 0], v[:, 1], v[:, 2]
     bump = 1.0 + 0.18 * np.sin(6 * x) * np.sin(5 * z) + 0.1 * np.cos(7 * y)
     v = v * bump[:, None]
-    v[:, 1] = v[:, 1] * 2.2 + 2.2  # tall, sitting on y≈0 like the ajax bust
+    v[:, 0] = v[:, 0] * 4.5 + 0.053126335
+    v[:, 1] = v[:, 1] * 14.0 + 17.469807
+    v[:, 2] = v[:, 2] * 4.5 - 17.283958
     return v.astype(np.float32), f
 
 
