@@ -82,13 +82,22 @@ def _entry_dense(bmin, bmax, rows, act_p):
 
 
 def _entry_twolevel(scene, rows, act_p):
-    """Two-level cull: dense over 8-treelet super-boxes, then a cheap
-    expansion loop computing exact child entries for HIT supers only.
+    """Two-level cull: dense over _SUPER-treelet super-boxes, then a
+    cheap expansion loop computing exact child entries for HIT supers
+    only.
 
     The produced (np, kpad) entry array is BIT-IDENTICAL to the dense
     one: child boxes are contained in their super (a missed super's
     children are all misses = +BIG), and the expansion slab math runs
     the same single-rounded ops per (ray, box) pair.
+
+    Caveat (measure-zero with jittered primaries, possible for exactly
+    axis-aligned secondary rays in axis-aligned scenes): a ray with an
+    exactly-zero direction component whose origin coordinate equals an
+    aggregated super-box bound produces (bound-o)*inf = NaN in the
+    super slab test, culling children the dense cull would keep.  The
+    aggregated super plane need not coincide with any child plane, so
+    this is the one input class where the two culls can differ.
     """
     K = scene.tre_min.shape[0]
     kpad = -(-K // _SUPER) * _SUPER
@@ -103,7 +112,7 @@ def _entry_twolevel(scene, rows, act_p):
     sup_entry = _entry_dense(sup_min, sup_max, rows, act_p)  # (np, ks)
 
     # packed child boxes, component-major per super row:
-    # [minx*8, miny*8, minz*8, maxx*8, maxy*8, maxz*8]
+    # [minx*_SUPER, miny*_SUPER, minz*_SUPER, maxx*_SUPER, ...] — (ks, 6*_SUPER)
     childtab = jnp.concatenate(
         [
             bmin.reshape(ks, _SUPER, 3).transpose(0, 2, 1).reshape(ks, 3 * _SUPER),
@@ -139,9 +148,9 @@ def _entry_twolevel(scene, rows, act_p):
         safe = jnp.where(live, sid, 0)
         sup = jnp.where((iota_s == sid[:, None]) & live[:, None], BIG, sup)
 
-        cb = childtab[safe]  # (np, 48) contiguous row gather
+        cb = childtab[safe]  # (np, 6*_SUPER) contiguous row gather
 
-        def comp(a):  # component a of the 8 child boxes -> (np, 8, 1)
+        def comp(a):  # component a of the _SUPER child boxes -> (np, _SUPER, 1)
             return cb[:, a * _SUPER : (a + 1) * _SUPER][:, :, None]
 
         def nf(axis, o, iv):
@@ -152,13 +161,13 @@ def _entry_twolevel(scene, rows, act_p):
         nx0, fx0 = nf(0, ox, ivx)
         ny0, fy0 = nf(1, oy, ivy)
         nz0, fz0 = nf(2, oz, ivz)
-        near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (np, 8, p)
+        near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (np, _SUPER, p)
         far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
         hit = (far >= near) & (far >= tmin_b) & actb
-        e8 = jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2)
-        e8 = jnp.where(live[:, None], e8, BIG)
-        # scatter-free write: tile matches col k with child k % 8
-        efull = jnp.tile(e8, (1, ks))
+        ech = jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2)  # (np, _SUPER)
+        ech = jnp.where(live[:, None], ech, BIG)
+        # scatter-free write: tile matches col k with child k % _SUPER
+        efull = jnp.tile(ech, (1, ks))
         mask = (col_super == sid[:, None]) & live[:, None] & col_valid
         entry = jnp.where(mask, jnp.minimum(entry, efull), entry)
         return i + 1, sup, entry
@@ -211,7 +220,7 @@ def intersect_treelets(
 
     # --- phase 1: packet-vs-treelet culling -----------------------------
     # Dense for small K; above _TWOLEVEL_MIN_K treelets the two-level
-    # scheme (8-treelet super-boxes + exact child expansion for hit
+    # scheme (_SUPER-treelet super-boxes + exact child expansion for hit
     # supers only) computes the IDENTICAL entry array at ~1/8 the dense
     # flops for typical hit rates (child ⊆ super, so an unexpanded
     # super's children provably have no hits).

@@ -382,8 +382,11 @@ def _render_chained(
 
     Per-lane bounce counters feed the same counter-based RNG, the same
     (n−1)/n progressive average runs per lane at its own sample index, and
-    lanes never interact — so the result is bit-identical to the unchained
-    loop (tests/test_chained.py), just with far fewer dead-lane sweeps.
+    lanes never interact — so the result is *semantically* identical to the
+    unchained loop: EXACT same ray counts and RNG streams, pixels equal at
+    amplified-ulp tolerance (XLA makes different FMA-contraction choices
+    across program shapes — tests/test_chained.py), with far fewer
+    dead-lane sweeps.
     """
     rows = height if rows is None else rows
     n = width * rows
@@ -498,7 +501,8 @@ def render_image(
 
     Returns (RenderBuffers, total_rays ()).  Jit-compatible: forward
     rendering uses the sample-chained single while_loop (``chain_samples``,
-    bit-identical to the per-sample loop — see _render_chained); the
+    semantically identical to the per-sample loop: exact ray counts,
+    pixels at amplified-ulp tolerance — see _render_chained); the
     differentiable path is a `lax.scan` over samples (reverse-mode AD
     cannot cross a while_loop).
     """

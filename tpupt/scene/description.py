@@ -49,6 +49,18 @@ def _build_slot_pack(treelets, slot_mat) -> np.ndarray:
     """
     L = treelets.leaf_size
     K = treelets.tre_min.shape[0]
+    # ids ride in f32 lanes ("exact small-int f32"); exactness ends at 2^24
+    max_id = max(
+        int(treelets.slot_src.max(initial=0)),
+        K * L,
+        int(np.max(slot_mat, initial=0)),
+    )
+    if max_id >= 2**24:
+        raise ValueError(
+            f"scene too large for f32-packed slot ids: max id {max_id} >= 2^24 "
+            "(~16.7M triangle slots); shrink the mesh pool or switch slot_pack "
+            "to an i32 side table"
+        )
     comps = treelets.tre_tris.reshape(K, 9, L).transpose(0, 2, 1).reshape(K * L, 9)
     e1 = comps[:, 3:6].astype(np.float32)
     e2 = comps[:, 6:9].astype(np.float32)
