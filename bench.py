@@ -108,17 +108,22 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    import __graft_entry__ as ge
+    # The PRODUCT pipeline (BASELINE config 3): assets/scenes/bunny.json
+    # through the JSON parser -> OBJ loader (native) -> SAH BVH (native)
+    # -> treelet bake.  No procedural stand-in.
+    from tpupt.bench.harness import _scene_bunny
 
-    scene, camera = ge._flagship_scene(mesh_subdiv=4)  # 5120-tri bunny substitute
+    scene, camera = _scene_bunny()
 
     mrays = None
+    used_size = args.size
     for size in (args.size, 512, 256):
         try:
             mrays, secs, rays = _bench_forward(
                 scene, camera, size, size, args.spp,
                 args.max_bounces, args.iters, rr_start=args.rr,
             )
+            used_size = size
             print(
                 f"forward bunny {size}^2 spp={args.spp} mb={args.max_bounces} "
                 f"rr={args.rr}: {mrays:.2f} Mrays/s ({rays} rays in {secs:.3f}s)",
@@ -131,6 +136,16 @@ def main():
     if mrays is None:
         print(json.dumps({"metric": "fwd_mrays_per_sec_per_chip_bunny1024",
                           "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0}))
+        return
+    if used_size != 1024:
+        # bench-integrity rule (VERDICT r1 #3): a size fallback must NOT
+        # report under the 1024^2 metric name — rename and zero the ratio.
+        print(
+            json.dumps({
+                "metric": f"fwd_mrays_per_sec_per_chip_bunny{used_size}",
+                "value": round(mrays, 3), "unit": "Mrays/s", "vs_baseline": 0.0,
+            })
+        )
         return
 
     if args.all:

@@ -74,9 +74,21 @@ def _scene_sphere():
 
 
 def _scene_bunny():
-    import __graft_entry__ as ge
+    """The PRODUCT path (BASELINE config 3: 'obj triangle mesh + BVH,
+    bunny scene from assets/models'): JSON parser -> OBJ loader (native)
+    -> scene build -> SAH BVH (native) -> treelet bake.  The procedurally
+    generated flagship scene (__graft_entry__._flagship_scene) is only
+    the driver compile-check fixture, NOT the benchmark scene."""
+    import os
 
-    return ge._flagship_scene(mesh_subdiv=4)
+    from tpupt.scene.assets_gen import ensure_models, locate_asset_path
+    from tpupt.scene.json_parser import scene_from_json
+
+    ensure_models()
+    desc = scene_from_json(
+        os.path.join(locate_asset_path(), "scenes", "bunny.json")
+    )
+    return desc.build(), desc.camera
 
 
 def _scene_multimesh():
@@ -162,7 +174,9 @@ def bench_sharded(scene, camera, size, spp, max_bounces, iters, n_devices=None):
 CONFIGS = {
     "sphere": dict(scene=_scene_sphere, size=128, spp=1, mb=2, rr=None),
     "cornell": dict(scene=_scene_cornell, size=512, spp=4, mb=4, rr=2),
-    "bunny": dict(scene=_scene_bunny, size=1024, spp=1, mb=50, rr=8),
+    # headline config — MUST match bench.py's defaults (1024^2, spp=16,
+    # 50-bounce cap, RR from bounce 8); stated in BASELINE.md
+    "bunny": dict(scene=_scene_bunny, size=1024, spp=16, mb=50, rr=8),
     "diff": dict(scene=_scene_sphere, size=256, spp=1, mb=4, rr=None),
     "multimesh": dict(scene=_scene_multimesh, size=1024, spp=16, mb=8, rr=4),
 }
