@@ -25,12 +25,39 @@ compaction count every bounce, src/lib/path_tracer.cu:413-470).
 
 __version__ = "0.1.0"
 
-from tpupt.core.types import Camera, Materials, SceneArrays, RenderBuffers
-from tpupt.scene.description import SceneDescription
-from tpupt.scene.json_parser import scene_from_json
-from tpupt.render.integrator import render_image, trace_sample
-from tpupt.render.progressive import PathTracer
-from tpupt.denoise.atrous import atrous_denoise
+# Lazy re-exports (PEP 562).  Eager imports would pull in jax.numpy
+# constants at import time, which initializes the XLA backend — that
+# breaks multi-host startup, where `jax.distributed.initialize` must run
+# before ANY backend-touching call (tpupt.dist.sharding.init_distributed
+# is importable pre-init precisely because of this), and it slows CLI
+# startup for --help-style invocations.
+_EXPORTS = {
+    "Camera": ("tpupt.core.types", "Camera"),
+    "Materials": ("tpupt.core.types", "Materials"),
+    "SceneArrays": ("tpupt.core.types", "SceneArrays"),
+    "RenderBuffers": ("tpupt.core.types", "RenderBuffers"),
+    "SceneDescription": ("tpupt.scene.description", "SceneDescription"),
+    "scene_from_json": ("tpupt.scene.json_parser", "scene_from_json"),
+    "render_image": ("tpupt.render.integrator", "render_image"),
+    "trace_sample": ("tpupt.render.integrator", "trace_sample"),
+    "PathTracer": ("tpupt.render.progressive", "PathTracer"),
+    "atrous_denoise": ("tpupt.denoise.atrous", "atrous_denoise"),
+}
+
+
+def __getattr__(name):
+    try:
+        module, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'tpupt' has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
+
 
 __all__ = [
     "Camera",

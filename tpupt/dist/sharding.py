@@ -34,23 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpupt.core.types import Camera, RenderBuffers, SceneArrays
 from tpupt.diff.params import extract_params, with_params
+from tpupt.dist.bootstrap import init_distributed  # noqa: F401  (re-export)
 from tpupt.render.integrator import MAX_BOUNCES_DEFAULT, render_image
-
-
-def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
-    """Multi-host rendezvous (no-op on a single host when args are None).
-
-    Wraps `jax.distributed.initialize`; afterwards `jax.devices()` sees the
-    whole pod slice and `make_tile_mesh()` spans it.
-    """
-    if coordinator is None and num_processes is None:
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
 
 
 def make_tile_mesh(n_tiles: int | None = None) -> Mesh:
