@@ -33,7 +33,7 @@ def test_pallas_sweep_matches_xla_sweep():
     t_seed = jnp.full((n,), 3.0e38)
     active = jnp.ones((n,), bool)
 
-    t_x, slot_x = intersect_treelets(scene, ro, rd, t_min, t_seed, active)
+    t_x, slot_x, _ = intersect_treelets(scene, ro, rd, t_min, t_seed, active)
     t_p, slot_p = intersect_treelets_pallas(
         scene, ro, rd, t_min, t_seed, active, interpret=True
     )

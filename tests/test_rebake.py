@@ -1,6 +1,7 @@
 """Device-side treelet rebaking (scene/bake.py): after an optimizer moves
 scene.positions, rebake_treelets must reproduce exactly what a fresh host
-build would have baked — including the packed slot_pack winner normals."""
+build would have baked — including the in-register winner-metadata
+channels (cross-normals, object ids) packed into tre_tris."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -34,9 +35,6 @@ def test_rebake_identity_matches_build():
     )
     np.testing.assert_allclose(
         np.asarray(re.tre_max), np.asarray(scene.tre_max), rtol=1e-6, atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(re.slot_pack), np.asarray(scene.slot_pack), rtol=1e-6, atol=1e-6
     )
 
 

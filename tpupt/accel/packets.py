@@ -186,10 +186,18 @@ def intersect_treelets(
 ):
     """Closest mesh hit for every ray.
 
-    Returns (t (N,), slot (N,) global treelet-slot id or -1).  Map the
-    slot to (outward normal, triangle, object, material) with ONE row
-    gather of scene.slot_pack — per-lane gathers serialize on TPU, so
-    winner metadata is fetched once per bounce, never inside the sweep.
+    Returns (t (N,), slot (N,) global treelet-slot id or -1, extras).
+    ``extras`` carries the winner's metadata selected IN-REGISTER during
+    the sweep (keys nx/ny/nz = unnormalized cross(e1,e2) normal, obj =
+    owning object id as f32, -1 for no hit): the packed block holds these
+    as extra component runs (accel/treelets.BLOCK_COMPONENTS) and each
+    step one-hot-reduces the argmin winner over L — a few VPU ops per
+    pair.  The alternative (a per-lane row gather of a (K*L, 8) metadata
+    table once per bounce) measured 33% of a 1M-lane render on v5e: the
+    gather serializes per lane AND its (N, 8)-minor result poisons every
+    consumer's layout (DESIGN.md round-2 profile).  Triangle ids (needed
+    only by the differentiable refine pass) stay a per-bounce
+    scene.slot_src gather so the forward path dead-code-eliminates it.
     """
     n = ro.x.shape[0]
     L = scene.s_leaf_size
@@ -234,6 +242,10 @@ def intersect_treelets(
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
     rows["slot"] = zero_p.astype(jnp.int32) - 1
+    rows["nx"] = zero_p
+    rows["ny"] = zero_p
+    rows["nz"] = zero_p
+    rows["obj"] = zero_p - 1.0
     # original packet index, for the final un-permutation
     rows["src"] = (
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
@@ -249,6 +261,8 @@ def intersect_treelets(
     def packet_live(r):
         ent = jnp.min(r["entry"], axis=-1)
         return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
+
+    iota_l = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
 
     def make_step(sz):
         packet_idx = jnp.arange(sz, dtype=jnp.int32)
@@ -295,10 +309,24 @@ def intersect_treelets(
             got = t_new < BIG
             new_slot = safe_tid[:, None] * L + j
 
+            # in-register winner metadata: one-hot reduce over L selects
+            # the argmin row's packed cross-normal + object id (exact —
+            # exactly one True per lane)
+            onehot = iota_l == j[:, None, :]  # (sz, L, p)
+
+            def sel(c):
+                return jnp.sum(
+                    jnp.where(onehot, comp(block, c), 0.0), axis=1
+                )  # (sz, p)
+
             out = dict(r)
             out["entry"] = entry
             out["t"] = jnp.where(got, t_new, r["t"])
             out["slot"] = jnp.where(got, new_slot, r["slot"])
+            out["nx"] = jnp.where(got, sel(9), r["nx"])
+            out["ny"] = jnp.where(got, sel(10), r["ny"])
+            out["nz"] = jnp.where(got, sel(11), r["nz"])
+            out["obj"] = jnp.where(got, sel(12), r["obj"])
             return out
 
         return step
@@ -342,4 +370,8 @@ def intersect_treelets(
     src = full["src"]  # (np,) original packet id of each row
     t_best = jnp.zeros((np_, p)).at[src].set(full["t"]).reshape(-1)
     slot_best = jnp.zeros((np_, p), jnp.int32).at[src].set(full["slot"]).reshape(-1)
-    return t_best[:n], slot_best[:n]
+    extras = {
+        k: jnp.zeros((np_, p)).at[src].set(full[k]).reshape(-1)[:n]
+        for k in ("nx", "ny", "nz", "obj")
+    }
+    return t_best[:n], slot_best[:n], extras

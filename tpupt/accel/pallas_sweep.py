@@ -160,7 +160,8 @@ def intersect_treelets_pallas(
 ):
     """Pallas twin of accel/packets.intersect_treelets: returns
     (t (N,), slot (N,)) with identical semantics (winner metadata is
-    fetched from scene.slot_pack by the caller, same as the XLA path)."""
+    resolved from the slot by the caller; the XLA path selects winner
+    metadata in-register instead)."""
     n = ro.x.shape[0]
     L = scene.s_leaf_size
     K = scene.tre_min.shape[0]
@@ -202,6 +203,10 @@ def intersect_treelets_pallas(
         chunks.append(jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=1))
     entry = jnp.concatenate(chunks, axis=-1)  # (np, K)
 
+    # geometry-only columns: tre_tris also packs the in-register winner
+    # metadata channels (accel/treelets.BLOCK_COMPONENTS); this
+    # experimental kernel sweeps geometry and leaves metadata to the caller
+    tre_geom = scene.tre_tris[:, : 9 * L]
     # pad K to the 128-lane tile for the kernel's entry block
     kp = -(-K // 128) * 128
     if kp != K:
@@ -209,13 +214,13 @@ def intersect_treelets_pallas(
             [entry, jnp.full((np_, kp - K), BIG, jnp.float32)], axis=1
         )
         tre = jnp.concatenate(
-            [scene.tre_tris,
-             jnp.zeros((kp - K, scene.tre_tris.shape[1]), jnp.float32)
+            [tre_geom,
+             jnp.zeros((kp - K, tre_geom.shape[1]), jnp.float32)
              .at[:, :3 * L].set(3e37)],
             axis=0,
         )
     else:
-        tre = scene.tre_tris
+        tre = tre_geom
 
     kernel = functools.partial(_sweep_kernel, leaf=L)
     row_spec = pl.BlockSpec((_GROUP, p), lambda i: (i, 0))

@@ -40,6 +40,17 @@ import numpy as np
 from tpupt.accel.bvh import FlatBVH, build_bvh
 
 
+# Components per packed block column group: [p0(3), e1(3), e2(3),
+# cn(3) = unnormalized f32 cross(e1, e2), obj(1) as exact small-int f32].
+# cn + obj ride WITH the geometry so the sweep can select the winner's
+# normal and object id IN-REGISTER (a one-hot reduce over L per step) —
+# the alternative, a per-lane row gather of a (K*L, 8) metadata table once
+# per bounce, measured 178 ms of a 544 ms render (33%) at 1M lanes on v5e
+# (the gather itself plus the (N, 8)-minor layout poisoning every consumer
+# — see DESIGN.md round-2 profile).
+BLOCK_COMPONENTS = 13
+
+
 @dataclass
 class TreeletTable:
     """Global packed treelet geometry (numpy, host-side; one per scene)."""
@@ -48,10 +59,10 @@ class TreeletTable:
     tre_min: np.ndarray  # (K, 3) f32 world-space AABB
     tre_max: np.ndarray  # (K, 3) f32
     # packed triangle data, COMPONENT-major per row:
-    # [p0x*L, p0y*L, p0z*L, e1x*L, e1y*L, e1z*L, e2x*L, e2y*L, e2z*L]
+    # [p0x*L, p0y*L, p0z*L, e1x*L, ..., e2z*L, cnx*L, cny*L, cnz*L, obj*L]
     # so block[:, c*L:(c+1)*L] is one (L,) component — the layout the
     # component-SoA sweep slices without any minor-dim-3 arrays.
-    tre_tris: np.ndarray  # (K, 9*L) f32, padded with degenerate triangles
+    tre_tris: np.ndarray  # (K, BLOCK_COMPONENTS*L) f32, padded w/ degenerates
     # per-slot metadata (parallel to the packed layout, flattened (K*L,))
     slot_src: np.ndarray  # (K*L,) i32 original global triangle id, -1 = pad
     slot_obj: np.ndarray  # (K*L,) i32 owning object id, -1 = pad
@@ -62,7 +73,7 @@ class TreeletTable:
 
     @property
     def leaf_size(self) -> int:
-        return int(self.tre_tris.shape[1] // 9)
+        return int(self.tre_tris.shape[1] // BLOCK_COMPONENTS)
 
 
 def _cut_bvh(bvh: FlatBVH, max_tris: int) -> list[np.ndarray]:
@@ -114,6 +125,10 @@ def build_treelets(
     tre_min, tre_max, tre_blocks, slot_src, slot_obj = [], [], [], [], []
 
     for mesh_id, world_m, obj_id in instances:
+        if obj_id >= 2**24:
+            raise ValueError(
+                f"object id {obj_id} >= 2^24: ids ride in f32 block lanes"
+            )
         positions, tris = meshes[mesh_id]
         m = np.asarray(world_m, np.float64)
         wpos = (positions @ m[:3, :3].T + m[:3, 3]).astype(np.float32)
@@ -124,15 +139,27 @@ def build_treelets(
             p0 = v[:, 0]
             e1 = v[:, 1] - v[:, 0]
             e2 = v[:, 2] - v[:, 0]
+            # single-rounded f32 cross, the same elementwise math the
+            # device rebake (scene/bake.py) and the forward hit use
+            cn = np.stack(
+                [
+                    e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1],
+                    e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2],
+                    e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0],
+                ],
+                axis=1,
+            )
             n = len(tri_ids)
             pad = leaf_size - n
-            block = np.concatenate([p0, e1, e2], axis=1)  # (n, 9)
+            objc = np.full((n, 1), float(obj_id), np.float32)
+            block = np.concatenate([p0, e1, e2, cn, objc], axis=1)  # (n, 13)
             if pad:
                 # degenerate far-away triangles never hit
-                filler = np.zeros((pad, 9), np.float32)
+                filler = np.zeros((pad, BLOCK_COMPONENTS), np.float32)
                 filler[:, :3] = 3e37
+                filler[:, 12] = -1.0
                 block = np.concatenate([block, filler], axis=0)
-            # component-major packing: 9 contiguous (L,) component runs
+            # component-major packing: 13 contiguous (L,) component runs
             tre_blocks.append(block.T.reshape(-1).astype(np.float32))
             tre_min.append(v.reshape(-1, 3).min(axis=0))
             tre_max.append(v.reshape(-1, 3).max(axis=0))
@@ -146,8 +173,9 @@ def build_treelets(
     if not tre_blocks:  # keep arrays non-empty for jit-safe gathers
         tre_min = [np.full(3, 3e37, np.float32)]
         tre_max = [np.full(3, 3e37, np.float32)]
-        blk = np.zeros((leaf_size, 9), np.float32)
+        blk = np.zeros((leaf_size, BLOCK_COMPONENTS), np.float32)
         blk[:, :3] = 3e37
+        blk[:, 12] = -1.0
         tre_blocks = [blk.T.reshape(-1)]
         slot_src = [np.full(leaf_size, -1, np.int64)]
         slot_obj = [np.full(leaf_size, -1, np.int64)]

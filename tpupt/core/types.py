@@ -117,17 +117,15 @@ class SceneArrays:
     # swept by ray packets with dense vector math.
     tre_min: jnp.ndarray  # (K, 3) f32 world AABB per treelet
     tre_max: jnp.ndarray  # (K, 3) f32
-    tre_tris: jnp.ndarray  # (K, L*9) f32 — [p0,e1,e2] x L, padded
+    # Packed blocks [p0, e1, e2, cn, obj] x L (component-major;
+    # accel/treelets.BLOCK_COMPONENTS).  cn = unnormalized f32
+    # cross(e1,e2) and the object id ride WITH the geometry so the sweep
+    # selects the winner's normal/object IN-REGISTER — per-lane metadata
+    # gathers serialize on TPU and their (N, small)-minor results poison
+    # downstream layouts (DESIGN.md round-2 profile: 33% of a render).
+    tre_tris: jnp.ndarray  # (K, L*BLOCK_COMPONENTS) f32
     slot_src: jnp.ndarray  # (K*L,) i32 — original global tri id, -1 pad
     slot_obj: jnp.ndarray  # (K*L,) i32 — owning object id, -1 pad
-    slot_mat: jnp.ndarray  # (K*L,) i32 — material id per slot (0 for pad)
-    # Packed winner-fetch table: [cn.x, cn.y, cn.z, src, obj, mat, 0, 0]
-    # per slot, cn = unnormalized cross(e1, e2).  Per-lane gathers
-    # SERIALIZE on TPU, so the per-bounce hit record is fetched with ONE
-    # row gather from this table instead of 3 metadata gathers plus an
-    # in-loop one-hot normal reduce (together ~50% of a render before
-    # this existed — see DESIGN.md).  Ids ride as exact small-int f32.
-    slot_pack: jnp.ndarray  # (K*L, 8) f32
 
     materials: Materials
 

@@ -155,27 +155,39 @@ def intersect_scene_ids(
     )
 
     if any(k == OBJ_MESH for k in scene.s_obj_kind):
-        t_mesh, slot = intersect_treelets(scene, ro, rd, t_min, t_best, active)
+        t_mesh, slot, ex = intersect_treelets(scene, ro, rd, t_min, t_best, active)
         take = slot >= 0
         safe = jnp.maximum(slot, 0)
         t_best = jnp.where(take, t_mesh, t_best)
         kind = jnp.where(take, PRIM_TRIANGLE, kind)
-        # ONE packed row gather fetches the winner's unnormalized normal
-        # and (tri, obj, mat) ids (core/types.SceneArrays.slot_pack note)
-        pk = scene.slot_pack[safe]  # (N, 8)
-        obj_id = jnp.where(take, pk[:, 4].astype(jnp.int32), obj_id)
-        prim_id = jnp.where(take, pk[:, 3].astype(jnp.int32), prim_id)
+        # winner metadata arrives IN-REGISTER from the sweep (extras):
+        # unnormalized cross-normal + object id, selected per step by a
+        # one-hot reduce over L.  The former (K*L, 8) slot_pack per-lane
+        # row gather + its (N, 8)-minor consumers measured 33% of a
+        # 1M-lane forward render (DESIGN.md round-2 profile).
+        obj_w = jnp.maximum(ex["obj"].astype(jnp.int32), 0)
+        obj_id = jnp.where(take, obj_w, obj_id)
+        # triangle id: needed only by the differentiable refine pass —
+        # a standalone i32 gather the forward path dead-code-eliminates
+        prim_id = jnp.where(take, scene.slot_src[safe], prim_id)
         # forward triangle hit record (reference semantics:
         # point = ray(t), outward = normalize(cross(e1, e2)), side flip —
         # src/lib/intersections.cuh:71-82)
-        outward = Vec3(pk[:, 0], pk[:, 1], pk[:, 2]).normalize()
+        outward = Vec3(ex["nx"], ex["ny"], ex["nz"]).normalize()
         tri_front = rd.dot(outward) < 0.0
         tri_normal = vec.where(tri_front, outward, -outward)
         tri_point = ro + rd * t_mesh
         point = vec.where(take, tri_point, point)
         normal = vec.where(take, tri_normal, normal)
         front = jnp.where(take, tri_front, front)
-        mat = jnp.where(take, pk[:, 5].astype(jnp.int32), mat)
+        # material id from the tiny per-object table via one-hot matmul
+        if scene.obj_mat.shape[0] <= _ONEHOT_MAX_ROWS:
+            tri_mat = _rows_by_onehot(
+                scene.obj_mat.astype(jnp.float32)[:, None], obj_w
+            )[0].astype(jnp.int32)
+        else:
+            tri_mat = scene.obj_mat[obj_w]
+        mat = jnp.where(take, tri_mat, mat)
 
     mask = kind != PRIM_NONE
     fwd = Hit(

@@ -22,9 +22,11 @@ _FAR = jnp.float32(3.0e37)
 
 
 def rebake_treelets(scene: SceneArrays) -> SceneArrays:
-    K, nine_l = scene.tre_tris.shape
+    from tpupt.accel.treelets import BLOCK_COMPONENTS
+
+    K, ncols = scene.tre_tris.shape
     L = scene.s_leaf_size
-    assert nine_l == 9 * L
+    assert ncols == BLOCK_COMPONENTS * L
 
     pad = scene.slot_src < 0
     src = jnp.maximum(scene.slot_src, 0)
@@ -45,8 +47,15 @@ def rebake_treelets(scene: SceneArrays) -> SceneArrays:
     e1 = vec.where(pad, Vec3(zero, zero, zero), w1 - w0)
     e2 = vec.where(pad, Vec3(zero, zero, zero), w2 - w0)
 
-    # component-major packing [p0x*L, p0y*L, ... e2z*L] per treelet row
-    comps = [p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z]
+    # component-major packing [p0, e1, e2, cn, obj] x L per treelet row
+    # (accel/treelets.BLOCK_COMPONENTS): the in-register winner-metadata
+    # channels (cross-normal, object id) rebake together with the geometry
+    cn = e1.cross(e2)  # zero for pad slots (e1 = e2 = 0)
+    obj_col = jnp.where(pad, -1.0, obj.astype(jnp.float32))
+    comps = [
+        p0.x, p0.y, p0.z, e1.x, e1.y, e1.z, e2.x, e2.y, e2.z,
+        cn.x, cn.y, cn.z, obj_col,
+    ]
     tre_tris = jnp.concatenate(
         [c.reshape(K, L) for c in comps], axis=1
     )
@@ -65,10 +74,4 @@ def rebake_treelets(scene: SceneArrays) -> SceneArrays:
     tre_min = jnp.stack([vx0, vy0, vz0], axis=1)
     tre_max = jnp.stack([vx1, vy1, vz1], axis=1)
 
-    # refresh the packed winner-fetch normals (ids are topology, unchanged)
-    cn = e1.cross(e2)
-    slot_pack = scene.slot_pack.at[:, 0].set(cn.x).at[:, 1].set(cn.y).at[:, 2].set(cn.z)
-
-    return scene.replace(
-        tre_tris=tre_tris, tre_min=tre_min, tre_max=tre_max, slot_pack=slot_pack
-    )
+    return scene.replace(tre_tris=tre_tris, tre_min=tre_min, tre_max=tre_max)

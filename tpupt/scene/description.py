@@ -39,47 +39,6 @@ from tpupt.core.types import (
 from tpupt.core import math3d
 
 
-def _build_slot_pack(treelets, slot_mat) -> np.ndarray:
-    """(K*L, 8) packed winner-fetch rows: [cross(e1,e2), src, obj, mat, 0, 0].
-
-    One per-lane row gather of this table replaces the per-bounce slot
-    metadata gathers and the sweep's in-loop one-hot normal reduction
-    (per-lane gathers serialize on TPU — core/types.SceneArrays note).
-    The cross uses the same single-rounded f32 ops as the device math.
-    """
-    L = treelets.leaf_size
-    K = treelets.tre_min.shape[0]
-    # ids ride in f32 lanes ("exact small-int f32"); exactness ends at 2^24
-    max_id = max(
-        int(treelets.slot_src.max(initial=0)),
-        K * L,
-        int(np.max(slot_mat, initial=0)),
-    )
-    if max_id >= 2**24:
-        raise ValueError(
-            f"scene too large for f32-packed slot ids: max id {max_id} >= 2^24 "
-            "(~16.7M triangle slots); shrink the mesh pool or switch slot_pack "
-            "to an i32 side table"
-        )
-    comps = treelets.tre_tris.reshape(K, 9, L).transpose(0, 2, 1).reshape(K * L, 9)
-    e1 = comps[:, 3:6].astype(np.float32)
-    e2 = comps[:, 6:9].astype(np.float32)
-    cn = np.stack(
-        [
-            e1[:, 1] * e2[:, 2] - e1[:, 2] * e2[:, 1],
-            e1[:, 2] * e2[:, 0] - e1[:, 0] * e2[:, 2],
-            e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0],
-        ],
-        axis=1,
-    ).astype(np.float32)
-    pack = np.zeros((K * L, 8), np.float32)
-    pack[:, :3] = cn
-    pack[:, 3] = treelets.slot_src.astype(np.float32)
-    pack[:, 4] = np.maximum(treelets.slot_obj, 0).astype(np.float32)
-    pack[:, 5] = np.asarray(slot_mat, np.float32)
-    return pack
-
-
 def _np_transform_point(m, p):
     v = m @ np.append(p, 1.0)
     return v[:3] / v[3]
@@ -340,17 +299,6 @@ class SceneDescription:
             tre_tris=f32(treelets.tre_tris),
             slot_src=i32(treelets.slot_src),
             slot_obj=i32(treelets.slot_obj),
-            slot_mat=i32(
-                np.asarray(obj_mat)[np.maximum(treelets.slot_obj, 0)]
-                * (treelets.slot_obj >= 0)
-            ),
-            slot_pack=f32(
-                _build_slot_pack(
-                    treelets,
-                    np.asarray(obj_mat)[np.maximum(treelets.slot_obj, 0)]
-                    * (treelets.slot_obj >= 0),
-                )
-            ),
             materials=Materials(
                 mat_type=i32(mtypes),
                 albedo=f32(albedos),
