@@ -56,6 +56,60 @@ _SUPER = 16  # treelets per super-box (two-level cull; 8 vs 16 vs 32 measured 7.
 _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 
 
+def _ladder_sizes(np_: int) -> list[int]:
+    sizes = []
+    sz = np_
+    while True:
+        sizes.append(sz)
+        if sz <= _LADDER_MIN:
+            break
+        sz = max(_LADDER_MIN, sz // _LADDER_DIV)
+    return sizes
+
+
+def _run_ladder(full, make_step, live_of, max_steps):
+    """Compaction-ladder driver shared by the sweep, the two-level cull
+    expansion and the any-hit shadow sweep.
+
+    ``full`` is a dict of (np, ...) per-packet row arrays that MUST
+    include an i32 "src" row (original packet index).  Each rung runs
+    ``make_step(sz)`` on the leading ``sz`` rows until at most
+    sz/_LADDER_DIV of them are live per ``live_of`` (or ``max_steps``),
+    then stable-compacts live rows to the front (packet-level argsort is
+    tiny; the row moves are contiguous gathers at full HBM bandwidth) and
+    continues on the next static slice.  Rows are mutually independent,
+    so this is pure scheduling: results are bit-identical to a flat loop.
+
+    Returns the dict in PERMUTED order — un-permute outputs through
+    ``full["src"]``.
+    """
+    np_ = full["src"].shape[0]
+    sizes = _ladder_sizes(np_)
+    for li, sz in enumerate(sizes):
+        sub = {k: v[:sz] for k, v in full.items()}
+        is_last = li == len(sizes) - 1
+        threshold = 0 if is_last else sz // _LADDER_DIV
+        step = make_step(sz)
+
+        def cond(carry, threshold=threshold):
+            i, r = carry
+            count = jnp.sum(live_of(r), dtype=jnp.int32)
+            return (i < max_steps) & (count > threshold)
+
+        def body(carry):
+            i, r = carry
+            return i + 1, step(r)
+
+        _, sub = lax.while_loop(cond, body, (jnp.int32(0), sub))
+
+        full = {k: v.at[:sz].set(sub[k]) for k, v in full.items()}
+        if not is_last:
+            order = jnp.argsort(~live_of(sub), stable=True).astype(jnp.int32)
+            perm = {k: v[order] for k, v in sub.items()}
+            full = {k: v.at[:sz].set(perm[k]) for k, v in full.items()}
+    return full
+
+
 def _entry_dense(bmin, bmax, rows, act_p):
     """Dense packet-vs-box cull: conservative per-packet entry distance
     for EVERY box (chunked over the box axis).  (np, Kb) with +BIG where
@@ -76,7 +130,17 @@ def _entry_dense(bmin, bmax, rows, act_p):
         nz0, fz0 = axis_near_far(bmin[c0:c1, 2], bmax[c0:c1, 2], rows["roz"], ivz)
         near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (np, p, Kc)
         far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
-        hit = (far >= near) & (far >= rows["tmin"][..., None]) & act_p[..., None]
+        # per-lane t-cap: a box whose entry lies beyond the lane's current
+        # best t (rows["t"], e.g. the sphere-pass seed — or the light
+        # distance for shadow rays) cannot improve that lane; if no live
+        # lane can improve, the box is skipped.  Result-identical: any hit
+        # inside has t >= near > t_lane, which the sweep would reject.
+        hit = (
+            (far >= near)
+            & (far >= rows["tmin"][..., None])
+            & (near <= rows["t"][..., None])
+            & act_p[..., None]
+        )
         chunks.append(jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=1))
     return jnp.concatenate(chunks, axis=-1)
 
@@ -122,12 +186,6 @@ def _entry_twolevel(scene, rows, act_p):
     )
 
     np_ = rows["rox"].shape[0]
-    ox, oy, oz = rows["rox"][:, None, :], rows["roy"][:, None, :], rows["roz"][:, None, :]
-    ivx = (1.0 / rows["rdx"])[:, None, :]
-    ivy = (1.0 / rows["rdy"])[:, None, :]
-    ivz = (1.0 / rows["rdz"])[:, None, :]
-    tmin_b = rows["tmin"][:, None, :]
-    actb = act_p[:, None, :]
     iota_s = jnp.arange(ks, dtype=jnp.int32)[None, :]
     col_super = (jnp.arange(kpad, dtype=jnp.int32) // _SUPER)[None, :]
     # pad columns stay +BIG: the (min>max) empty pad boxes don't survive
@@ -137,43 +195,175 @@ def _entry_twolevel(scene, rows, act_p):
     # derive from a varying input for shard_map VMA typing
     entry0 = jnp.full((np_, kpad), BIG) + rows["t"][:, :1] * 0.0
 
-    def cond(carry):
-        i, sup, _ = carry
-        return (i < ks) & jnp.any(jnp.min(sup, axis=1) < BIG)
+    # The expansion runs on the shared compaction ladder: a flat loop
+    # would pay max-supers-hit lockstep across the whole batch (measured
+    # 17.3 lockstep expansions/bounce at 1M bunny rays where the mean is
+    # far lower — the r1 "known gap").  Rows carry everything the body
+    # reads so rung compaction is a generic dict permute.
+    er = dict(
+        ox=rows["rox"], oy=rows["roy"], oz=rows["roz"],
+        ivx=1.0 / rows["rdx"], ivy=1.0 / rows["rdy"], ivz=1.0 / rows["rdz"],
+        tmin=rows["tmin"], tcap=rows["t"], act=act_p,
+        sup=sup_entry, entry=entry0,
+        src=entry0[:, 0].astype(jnp.int32) * 0
+        + jnp.arange(np_, dtype=jnp.int32),
+    )
 
-    def body(carry):
-        i, sup, entry = carry
-        sid = jnp.argmin(sup, axis=1).astype(jnp.int32)  # (np,)
-        live = jnp.min(sup, axis=1) < BIG
-        safe = jnp.where(live, sid, 0)
-        sup = jnp.where((iota_s == sid[:, None]) & live[:, None], BIG, sup)
+    def live_of(r):
+        return jnp.min(r["sup"], axis=1) < BIG
 
-        cb = childtab[safe]  # (np, 6*_SUPER) contiguous row gather
+    def make_step(sz):
+        def step(r):
+            sid = jnp.argmin(r["sup"], axis=1).astype(jnp.int32)  # (sz,)
+            live = jnp.min(r["sup"], axis=1) < BIG
+            safe = jnp.where(live, sid, 0)
+            sup = jnp.where((iota_s == sid[:, None]) & live[:, None], BIG, r["sup"])
 
-        def comp(a):  # component a of the _SUPER child boxes -> (np, _SUPER, 1)
-            return cb[:, a * _SUPER : (a + 1) * _SUPER][:, :, None]
+            cb = childtab[safe]  # (sz, 6*_SUPER) contiguous row gather
 
-        def nf(axis, o, iv):
-            t0 = (comp(axis) - o) * iv
-            t1 = (comp(3 + axis) - o) * iv
-            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+            def comp(a):  # component a of the _SUPER child boxes -> (sz, _SUPER, 1)
+                return cb[:, a * _SUPER : (a + 1) * _SUPER][:, :, None]
 
-        nx0, fx0 = nf(0, ox, ivx)
-        ny0, fy0 = nf(1, oy, ivy)
-        nz0, fz0 = nf(2, oz, ivz)
-        near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (np, _SUPER, p)
-        far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
-        hit = (far >= near) & (far >= tmin_b) & actb
-        ech = jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2)  # (np, _SUPER)
-        ech = jnp.where(live[:, None], ech, BIG)
-        # scatter-free write: tile matches col k with child k % _SUPER
-        efull = jnp.tile(ech, (1, ks))
-        mask = (col_super == sid[:, None]) & live[:, None] & col_valid
-        entry = jnp.where(mask, jnp.minimum(entry, efull), entry)
-        return i + 1, sup, entry
+            def nf(axis, o, iv):
+                t0 = (comp(axis) - o[:, None, :]) * iv[:, None, :]
+                t1 = (comp(3 + axis) - o[:, None, :]) * iv[:, None, :]
+                return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-    _, _, entry = lax.while_loop(cond, body, (jnp.int32(0), sup_entry, entry0))
+            nx0, fx0 = nf(0, r["ox"], r["ivx"])
+            ny0, fy0 = nf(1, r["oy"], r["ivy"])
+            nz0, fz0 = nf(2, r["oz"], r["ivz"])
+            near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (sz, _SUPER, p)
+            far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
+            hit = (
+                (far >= near)
+                & (far >= r["tmin"][:, None, :])
+                & (near <= r["tcap"][:, None, :])
+                & r["act"][:, None, :]
+            )
+            ech = jnp.min(
+                jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
+            )  # (sz, _SUPER)
+            ech = jnp.where(live[:, None], ech, BIG)
+            # scatter-free write: tile matches col k with child k % _SUPER
+            efull = jnp.tile(ech, (1, ks))
+            mask = (col_super == sid[:, None]) & live[:, None] & col_valid
+            out = dict(r)
+            out["sup"] = sup
+            out["entry"] = jnp.where(
+                mask, jnp.minimum(r["entry"], efull), r["entry"]
+            )
+            return out
+
+        return step
+
+    full = _run_ladder(er, make_step, live_of, max_steps=ks)
+    src = full["src"]
+    entry = (
+        jnp.zeros((np_, kpad)) + entry0[:, :1] * 0.0
+    ).at[src].set(full["entry"])
     return entry
+
+
+def _pack_rows(ro: Vec3, rd: Vec3, t_min, t_cap, active):
+    """Pad the flat ray batch to a packet multiple and fold to (np, p)
+    per-packet rows.  ``t_cap`` is the per-lane residual search bound
+    (closest-hit: the seed best-t; any-hit: the occlusion window end);
+    dead lanes get -BIG so they never keep a packet alive."""
+    n = ro.x.shape[0]
+    pad = (-n) % PACKET
+
+    def padded(a, fill):
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
+
+    rox, roy, roz = padded(ro.x, 0.0), padded(ro.y, 0.0), padded(ro.z, 0.0)
+    rdx, rdy, rdz = padded(rd.x, 1.0), padded(rd.y, 1.0), padded(rd.z, 1.0)
+    t_min = padded(t_min, 0.0)
+    t_cap = padded(t_cap, -BIG)
+    active = padded(active, False)
+    np_, p = (n + pad) // PACKET, PACKET
+
+    shp = (np_, p)
+    rows = dict(
+        rox=rox.reshape(shp), roy=roy.reshape(shp), roz=roz.reshape(shp),
+        rdx=rdx.reshape(shp), rdy=rdy.reshape(shp), rdz=rdz.reshape(shp),
+        tmin=t_min.reshape(shp),
+    )
+    act_p = active.reshape(shp)
+    rows["t"] = jnp.where(act_p, t_cap.reshape(shp), -BIG)
+    return rows, act_p, np_, p
+
+
+def _cull_entries(scene, rows, act_p):
+    """Phase 1: packet-vs-treelet culling.  Dense for small K; above
+    _TWOLEVEL_MIN_K treelets the two-level scheme (_SUPER-treelet
+    super-boxes + exact child expansion for hit supers only) computes the
+    IDENTICAL entry array at ~1/8 the dense flops for typical hit rates
+    (child ⊆ super, so an unexpanded super's children provably have no
+    hits)."""
+    if scene.tre_min.shape[0] >= _TWOLEVEL_MIN_K:
+        return _entry_twolevel(scene, rows, act_p)
+    return _entry_dense(scene.tre_min, scene.tre_max, rows, act_p)
+
+
+def _packet_live(r):
+    ent = jnp.min(r["entry"], axis=-1)
+    return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
+
+
+# Layout note: the dense MT runs on (sz, L, p) arrays — rays on the
+# MINOR axis (p=256 = 2 full 128-lane vectors), triangles on sublanes.
+# The transposed (sz, p, L) layout fills only 32 of 128 lanes with
+# L=32 leaves (measured 4.3x slower at 1M rays).
+def _comp(block, c, L):  # (sz, C*L) -> (sz, L, 1) component c
+    return block[:, c * L : (c + 1) * L][:, :, None]
+
+
+def _next_treelet(scene, r, packet_idx):
+    """Advance each packet to its nearest remaining hit treelet: returns
+    (live (sz,), entry-with-winner-cleared, gathered block (sz, C*L),
+    safe treelet id (sz,))."""
+    tid = jnp.argmin(r["entry"], axis=-1).astype(jnp.int32)  # (sz,)
+    ent = jnp.min(r["entry"], axis=-1)
+    live = (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
+    safe_tid = jnp.where(live, tid, 0)
+    entry = r["entry"].at[packet_idx, tid].set(BIG)
+    block = scene.tre_tris[safe_tid]  # one row-gather per packet
+    return live, entry, block, safe_tid
+
+
+def _dense_mt(scene, block, r, live, L):
+    """Dense Möller–Trumbore over a gathered treelet block: (sz, L, p)
+    pair masks + ts.  Returns (ok, t, safe_tid-compatible block) — the
+    winner reduction differs between closest-hit and any-hit callers."""
+    p0x, p0y, p0z = _comp(block, 0, L), _comp(block, 1, L), _comp(block, 2, L)
+    e1x, e1y, e1z = _comp(block, 3, L), _comp(block, 4, L), _comp(block, 5, L)
+    e2x, e2y, e2z = _comp(block, 6, L), _comp(block, 7, L), _comp(block, 8, L)
+
+    ox, oy, oz = r["rox"][:, None, :], r["roy"][:, None, :], r["roz"][:, None, :]
+    dx, dy, dz = r["rdx"][:, None, :], r["rdy"][:, None, :], r["rdz"][:, None, :]
+
+    # Moller-Trumbore, fully component-wise -> (sz, L, p) scalars
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / jnp.where(jnp.abs(a) < MOLLER_EPS, 1.0, a)
+    sx, sy, sz_ = ox - p0x, oy - p0y, oz - p0z
+    u = f * (sx * hx + sy * hy + sz_ * hz)
+    qx = sy * e1z - sz_ * e1y
+    qy = sz_ * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (jnp.abs(a) >= MOLLER_EPS)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= r["tmin"][:, None, :])
+        & (t <= r["t"][:, None, :])
+        & live[:, None, None]
+    )
+    return ok, t
 
 
 def intersect_treelets(
@@ -203,41 +393,8 @@ def intersect_treelets(
     L = scene.s_leaf_size
     K = scene.tre_min.shape[0]
 
-    # pad the batch to a packet multiple with dead lanes
-    pad = (-n) % PACKET
-
-    def padded(a, fill):
-        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)]) if pad else a
-
-    rox, roy, roz = padded(ro.x, 0.0), padded(ro.y, 0.0), padded(ro.z, 0.0)
-    rdx, rdy, rdz = padded(rd.x, 1.0), padded(rd.y, 1.0), padded(rd.z, 1.0)
-    t_min = padded(t_min, 0.0)
-    t_seed = padded(t_seed, -BIG)
-    active = padded(active, False)
-    np_, p = (n + pad) // PACKET, PACKET
-
-    shp = (np_, p)
-    rows = dict(
-        rox=rox.reshape(shp), roy=roy.reshape(shp), roz=roz.reshape(shp),
-        rdx=rdx.reshape(shp), rdy=rdy.reshape(shp), rdz=rdz.reshape(shp),
-        tmin=t_min.reshape(shp),
-    )
-    act_p = active.reshape(shp)
-    # dead lanes: -BIG best-t so they never keep a packet alive
-    rows["t"] = jnp.where(act_p, t_seed.reshape(shp), -BIG)
-
-    # --- phase 1: packet-vs-treelet culling -----------------------------
-    # Dense for small K; above _TWOLEVEL_MIN_K treelets the two-level
-    # scheme (_SUPER-treelet super-boxes + exact child expansion for hit
-    # supers only) computes the IDENTICAL entry array at ~1/8 the dense
-    # flops for typical hit rates (child ⊆ super, so an unexpanded
-    # super's children provably have no hits).
-    if K >= _TWOLEVEL_MIN_K:
-        rows["entry"] = _entry_twolevel(scene, rows, act_p)
-    else:
-        rows["entry"] = _entry_dense(
-            scene.tre_min, scene.tre_max, rows, act_p
-        )
+    rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_seed, active)
+    rows["entry"] = _cull_entries(scene, rows, act_p)
 
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
@@ -251,58 +408,14 @@ def intersect_treelets(
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
     )
 
-    # Layout note: the dense MT runs on (sz, L, p) arrays — rays on the
-    # MINOR axis (p=256 = 2 full 128-lane vectors), triangles on sublanes.
-    # The transposed (sz, p, L) layout fills only 32 of 128 lanes with
-    # L=32 leaves (measured 4.3x slower at 1M rays).
-    def comp(block, c):  # (sz, 9L) -> (sz, L, 1) component c
-        return block[:, c * L : (c + 1) * L][:, :, None]
-
-    def packet_live(r):
-        ent = jnp.min(r["entry"], axis=-1)
-        return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
-
     iota_l = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
 
     def make_step(sz):
         packet_idx = jnp.arange(sz, dtype=jnp.int32)
 
         def step(r):
-            tid = jnp.argmin(r["entry"], axis=-1).astype(jnp.int32)  # (sz,)
-            ent = jnp.min(r["entry"], axis=-1)
-            live = (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
-            safe_tid = jnp.where(live, tid, 0)
-            entry = r["entry"].at[packet_idx, tid].set(BIG)
-
-            block = scene.tre_tris[safe_tid]  # one row-gather per packet
-            p0x, p0y, p0z = comp(block, 0), comp(block, 1), comp(block, 2)
-            e1x, e1y, e1z = comp(block, 3), comp(block, 4), comp(block, 5)
-            e2x, e2y, e2z = comp(block, 6), comp(block, 7), comp(block, 8)
-
-            ox, oy, oz = r["rox"][:, None, :], r["roy"][:, None, :], r["roz"][:, None, :]
-            dx, dy, dz = r["rdx"][:, None, :], r["rdy"][:, None, :], r["rdz"][:, None, :]
-
-            # Moller-Trumbore, fully component-wise -> (sz, L, p) scalars
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / jnp.where(jnp.abs(a) < MOLLER_EPS, 1.0, a)
-            sx, sy, sz_ = ox - p0x, oy - p0y, oz - p0z
-            u = f * (sx * hx + sy * hy + sz_ * hz)
-            qx = sy * e1z - sz_ * e1y
-            qy = sz_ * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (jnp.abs(a) >= MOLLER_EPS)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t >= r["tmin"][:, None, :])
-                & (t <= r["t"][:, None, :])
-                & live[:, None, None]
-            )
+            live, entry, block, safe_tid = _next_treelet(scene, r, packet_idx)
+            ok, t = _dense_mt(scene, block, r, live, L)
             t_masked = jnp.where(ok, t, BIG)
             j = jnp.argmin(t_masked, axis=1)  # (sz, p) best slot in treelet
             t_new = jnp.min(t_masked, axis=1)
@@ -316,7 +429,7 @@ def intersect_treelets(
 
             def sel(c):
                 return jnp.sum(
-                    jnp.where(onehot, comp(block, c), 0.0), axis=1
+                    jnp.where(onehot, _comp(block, c, L), 0.0), axis=1
                 )  # (sz, p)
 
             out = dict(r)
@@ -331,40 +444,7 @@ def intersect_treelets(
 
         return step
 
-    # --- the ladder ----------------------------------------------------
-    sizes = []
-    sz = np_
-    while True:
-        sizes.append(sz)
-        if sz <= _LADDER_MIN:
-            break
-        sz = max(_LADDER_MIN, sz // _LADDER_DIV)
-
-    full = rows
-    for li, sz in enumerate(sizes):
-        sub = {k: v[:sz] for k, v in full.items()}
-        is_last = li == len(sizes) - 1
-        threshold = 0 if is_last else sz // _LADDER_DIV
-        step = make_step(sz)
-
-        def cond(carry, threshold=threshold):
-            i, r = carry
-            count = jnp.sum(packet_live(r), dtype=jnp.int32)
-            return (i < K) & (count > threshold)
-
-        def body(carry):
-            i, r = carry
-            return i + 1, step(r)
-
-        _, sub = lax.while_loop(cond, body, (jnp.int32(0), sub))
-
-        full = {k: v.at[:sz].set(sub[k]) for k, v in full.items()}
-        if not is_last:
-            # stable-compact live packets to the front of the processed
-            # slice (packet-level argsort: tiny; row gathers: contiguous)
-            order = jnp.argsort(~packet_live(sub), stable=True).astype(jnp.int32)
-            perm = {k: v[order] for k, v in sub.items()}
-            full = {k: v.at[:sz].set(perm[k]) for k, v in full.items()}
+    full = _run_ladder(rows, make_step, _packet_live, max_steps=K)
 
     # --- un-permute to original packet order ---------------------------
     src = full["src"]  # (np,) original packet id of each row
@@ -375,3 +455,55 @@ def intersect_treelets(
         for k in ("nx", "ny", "nz", "obj")
     }
     return t_best[:n], slot_best[:n], extras
+
+
+def intersect_treelets_anyhit(
+    scene,
+    ro: Vec3,  # components (N,)
+    rd: Vec3,
+    t_min: jnp.ndarray,  # (N,)
+    t_limit: jnp.ndarray,  # (N,) occlusion window end (e.g. light distance)
+    active: jnp.ndarray,  # (N,)
+) -> jnp.ndarray:
+    """Any-hit occlusion sweep: True where ANY triangle hits in
+    [t_min, t_limit].
+
+    The shadow-ray variant of the packet sweep (VERDICT r1 #2): no winner
+    bookkeeping, no argmin-over-L front-to-back selection — each step
+    or-reduces the pair mask, sets occluded lanes' residual bound t to
+    -BIG (which retires them from packet liveness and from the per-lane
+    t-cap of every later pair test), and a packet exits the ladder as
+    soon as every live lane is occluded or its hit list is exhausted.
+    Per-lane t-caps also shrink the cull: treelets entirely beyond the
+    light distance are never visited.
+    """
+    L = scene.s_leaf_size
+    K = scene.tre_min.shape[0]
+    n = ro.x.shape[0]
+
+    rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_limit, active)
+    rows["entry"] = _cull_entries(scene, rows, act_p)
+    rows["src"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) + jnp.arange(
+        np_, dtype=jnp.int32
+    )
+
+    def make_step(sz):
+        packet_idx = jnp.arange(sz, dtype=jnp.int32)
+
+        def step(r):
+            live, entry, block, _tid = _next_treelet(scene, r, packet_idx)
+            ok, _t = _dense_mt(scene, block, r, live, L)
+            occ_new = jnp.any(ok, axis=1)  # (sz, p)
+            out = dict(r)
+            out["entry"] = entry
+            # occluded lanes stop mattering: -BIG removes them from the
+            # packet's residual search bound (and equals "occluded" below)
+            out["t"] = jnp.where(occ_new, -BIG, r["t"])
+            return out
+
+        return step
+
+    full = _run_ladder(rows, make_step, _packet_live, max_steps=K)
+    src = full["src"]
+    t_out = jnp.zeros((np_, p)).at[src].set(full["t"]).reshape(-1)[:n]
+    return active & (t_out == -BIG)

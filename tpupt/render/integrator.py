@@ -36,9 +36,15 @@ from tpupt.core import vec
 from tpupt.core.vec import Vec3
 from tpupt.core.types import Camera, RenderBuffers, SceneArrays
 from tpupt.core.types import MAT_DIFFUSE
-from tpupt.render.intersect import background_color, intersect_scene_ids, refine_hit
+from tpupt.render.intersect import (
+    background_color,
+    intersect_scene_ids,
+    occlusion_anyhit,
+    refine_hit,
+)
 from tpupt.render.materials import russian_roulette, sample_light_sphere, shade
 from tpupt.sampling.rng import bounce_counter, jitter_counters, pixel_seed, uniform
+from tpupt.utils import debug
 
 INV_PI = 0.3183098861837907
 
@@ -123,12 +129,16 @@ def _init_paths(scene, camera, width, height, iteration, row0=0, rows=None):
 
 def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive):
     """Next-event estimation: sample each emissive sphere light from every
-    diffuse hit, shadow-test with the regular intersector, and return the
-    direct-light radiance contribution (BASELINE north star: 'per-bounce
-    BSDF shading + next-event estimation').
+    diffuse hit, shadow-test, and return the direct-light radiance
+    contribution (BASELINE north star: 'per-bounce BSDF shading +
+    next-event estimation').
 
-    The shadow test asks "is the closest hit along the sampled direction
-    the light itself?" — robust against self-shadowing epsilons."""
+    Shadow test: with the production intersector, an ANY-HIT occlusion
+    sweep against the analytic light distance (no winner bookkeeping, per
+    -lane t-caps, first-occluder packet exit — render/intersect.py
+    occlusion_anyhit).  Reference intersectors (cpu_ref brute force,
+    per-ray BVH) keep the closest-hit formulation "is the nearest hit the
+    light itself?" — the two agree except at exact-tie t values."""
     from tpupt.render.materials import _material_rows
 
     mtype, albedo, _fuzz, _ior, _emit = _material_rows(scene, hit.mat_id)
@@ -151,12 +161,27 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
         direction, pdf, valid = sample_light_sphere(center, radius, p, u1, u2)
 
         shadow_active = diffuse & valid
-        ids2, _ = intersect_fn(
-            scene, p, direction, zf + jnp.float32(1e-4), shadow_active
-        )
+        if intersect_fn is intersect_scene_ids:
+            # analytic distance to the light sphere along the (unit)
+            # sampled direction: nearest root of |p + t d - c|^2 = r^2
+            oc = p - center
+            b = direction.dot(oc)
+            csq = oc.dot(oc) - radius * radius
+            disc = jnp.maximum(b * b - csq, 0.0)
+            t_light = -b - jnp.sqrt(disc)
+            occ = occlusion_anyhit(
+                scene, p, direction, zf + jnp.float32(1e-4), t_light,
+                shadow_active, lo,
+            )
+            lit = shadow_active & ~occ
+        else:
+            ids2, _ = intersect_fn(
+                scene, p, direction, zf + jnp.float32(1e-4), shadow_active
+            )
+            lit = shadow_active & (ids2.obj_id == lo)
         # saved residual: keeps the shadow-ray sweep out of the backward
         # recompute (see _bounce_body hit_ids note)
-        lit = checkpoint_name(shadow_active & (ids2.obj_id == lo), "hit_ids")
+        lit = checkpoint_name(lit, "hit_ids")
 
         cos_p = jnp.maximum(n.dot(direction), 0.0)
         # cosine-weighted lambertian: f = albedo/pi
@@ -242,6 +267,15 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
         apply = bounce >= rr_start
         out["color"] = vec.where(apply & al, tp, out["color"])
         out["alive"] = jnp.where(apply, al, out["alive"])
+    # TPUPT_DEBUG=1 NaN guards on the bounce OUTPUTS (zero cost otherwise;
+    # blanket float_checks would trip on the slab tests' intentional
+    # inf/NaN arithmetic — tpupt/utils/debug.py)
+    debug.check_finite(
+        "bounce radiance/throughput",
+        out["radiance"].x, out["radiance"].y, out["radiance"].z,
+        out["color"].x, out["color"].y, out["color"].z,
+    )
+    debug.check_finite("bounce scatter", out["ro"].x, out["rd"].x, out["normal"].x)
     return out
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from tpupt.accel.packets import intersect_treelets
+from tpupt.accel.packets import intersect_treelets, intersect_treelets_anyhit
 from tpupt.accel.traverse import traverse_mesh
 from tpupt.core import vec
 from tpupt.core.vec import Vec3
@@ -244,6 +244,46 @@ def intersect_scene_ids_bvh(
 
     # no forward hit: callers refine (this is the semantics-reference path)
     return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), None
+
+
+def occlusion_anyhit(
+    scene: SceneArrays,
+    ro: Vec3,
+    rd: Vec3,
+    t_min: jnp.ndarray,
+    t_limit: jnp.ndarray,
+    active: jnp.ndarray,
+    exclude_obj: int,
+) -> jnp.ndarray:
+    """Production shadow test: True where any geometry other than object
+    ``exclude_obj`` (the sampled light, a static index) hits within
+    [t_min, t_limit].
+
+    A shadow ray needs no winner bookkeeping: spheres run the same
+    object-space candidate test with the light excluded statically, and
+    meshes run the any-hit packet sweep (accel/packets.py), which exits a
+    packet the moment every live lane is occluded and culls treelets
+    beyond each lane's light distance.  Equivalent to the closest-hit
+    criterion "nearest hit is the light" except at exact-tie t values
+    (measure zero).
+    """
+    scene = lax.stop_gradient(scene)
+    ro = lax.stop_gradient(ro)
+    rd = lax.stop_gradient(rd)
+    t_min = lax.stop_gradient(t_min)
+    t_limit = lax.stop_gradient(t_limit)
+
+    occ = jnp.zeros_like(active)
+    for o, (okind, oprim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
+        if okind != OBJ_SPHERE or o == exclude_obj:
+            continue
+        hit, t_w, *_ = _sphere_candidate(scene, o, oprim, ro, rd, t_min, t_limit)
+        occ = occ | (active & hit)
+    if any(k == OBJ_MESH for k in scene.s_obj_kind):
+        occ = occ | intersect_treelets_anyhit(
+            scene, ro, rd, t_min, t_limit, active & ~occ
+        )
+    return occ
 
 
 # Per-lane dynamic gathers are the expensive primitive on TPU (~2.3 ms

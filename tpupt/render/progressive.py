@@ -16,6 +16,7 @@ import numpy as np
 from tpupt.core.types import Camera, RenderBuffers, SceneArrays
 from tpupt.denoise.atrous import atrous_denoise
 from tpupt.render.integrator import MAX_BOUNCES_DEFAULT, accumulate, trace_sample
+from tpupt.utils.debug import checked_jit
 from tpupt.utils.image import depth_to_uint8, to_uint8
 
 
@@ -50,7 +51,9 @@ class PathTracer:
         self._denoised: jnp.ndarray | None = None
         self.resize_image(resolution)
 
-        @partial(jax.jit, static_argnums=(3, 4))
+        # checked_jit == jax.jit unless TPUPT_DEBUG=1, which adds
+        # NaN-output + OOB-index guards (tpupt/utils/debug.py)
+        @partial(checked_jit, static_argnums=(3, 4))
         def _step(scene, camera, buffers, width, height):
             if self.method == "streaming":
                 from tpupt.render.wavefront import trace_sample_wavefront
