@@ -156,6 +156,22 @@ def main():
                   file=sys.stderr)
         except Exception as e:
             print(f"fwd+bwd bench failed: {e}", file=sys.stderr)
+        # scaling efficiency on the virtual CPU mesh (own process: it must
+        # set the device count before jax initializes)
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "tpupt.bench.scaling", "8"],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            print(f"scaling (virtual 8-dev CPU mesh): {line[-1] if line else out.stderr[-500:]}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"scaling bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
         # remaining BASELINE configs via the full harness
         from tpupt.bench.harness import run_config
 

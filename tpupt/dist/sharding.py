@@ -123,11 +123,18 @@ def render_loss_and_grads_sharded(
     mesh: Mesh | None = None,
     max_bounces: int = MAX_BOUNCES_DEFAULT,
     rr_start: int | None = None,
+    overlap_grad_psum: bool = True,
 ):
     """One sharded fwd+bwd step: every tile renders its band
     (differentiable path), takes the squared-error loss against its slice
     of ``target`` (flat (W*H, 3), row-major), and the scene-parameter
     gradients are all-reduced over the mesh axis.
+
+    ``overlap_grad_psum``: all-reduce each bounce's parameter cotangents
+    INSIDE the backward scan (diff/overlap.py) so the collectives overlap
+    the backward sweep, instead of one idle-compute psum at the end (the
+    BASELINE north-star pattern).  Either way the grads equal the
+    single-device render's (tests/test_sharding.py).
 
     Returns (global loss scalar, grads pytree matching
     `tpupt.diff.params.extract_params(scene)`).
@@ -158,13 +165,15 @@ def render_loss_and_grads_sharded(
                 differentiable=True,
                 row0=row0[0],
                 rows=rows_per,
+                grad_psum_axis="tiles" if overlap_grad_psum else None,
             )
             return jnp.sum((buffers.color - target_tile) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # per-tile partial sums -> global: loss is tile-varying; the
-        # replicated-parameter cotangents come back from shard_map's AD as
-        # psum'd (unvarying) under the VMA rules, so only loss needs it.
+        # parameter cotangents are either psum'd per bounce inside the
+        # backward scan (overlap_grad_psum) or by shard_map's own AD under
+        # the VMA rules — so only loss needs an explicit psum here.
         return lax.psum(loss, "tiles"), grads
 
     return step(scene, params, camera, jnp.asarray(target), row0s)

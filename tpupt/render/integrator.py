@@ -43,6 +43,7 @@ from tpupt.render.intersect import (
     refine_hit,
 )
 from tpupt.render.materials import russian_roulette, sample_light_sphere, shade
+from tpupt.diff.overlap import psum_in_backward
 from tpupt.sampling.rng import bounce_counter, jitter_counters, pixel_seed, uniform
 from tpupt.utils import debug
 
@@ -305,6 +306,7 @@ def trace_sample(
     intersect_fn=intersect_scene_ids,
     row0=0,
     rows: int | None = None,
+    grad_psum_axis: str | None = None,
 ):
     """Trace one sample-per-pixel pass.
 
@@ -344,9 +346,19 @@ def trace_sample(
 
         @partial(jax.checkpoint, policy=policy)
         def body(st, b):
+            # Overlapped grad all-reduce (diff/overlap.py): under a
+            # sharded mesh, psum each bounce's scene-parameter cotangent
+            # inside the backward scan step instead of once post-hoc, so
+            # the collective rides ICI while the previous bounce's
+            # backward compute runs.
+            s = (
+                psum_in_backward(scene, grad_psum_axis)
+                if grad_psum_axis is not None
+                else scene
+            )
             return (
                 _bounce_body(
-                    scene, seed, st, b, rr_start, intersect_fn, use_refine=True
+                    s, seed, st, b, rr_start, intersect_fn, use_refine=True
                 ),
                 None,
             )
@@ -529,6 +541,7 @@ def render_image(
     row0=0,
     rows: int | None = None,
     chain_samples: bool = True,
+    grad_psum_axis: str | None = None,
 ):
     """Render ``spp`` progressive samples (the CLI loop,
     reference src/cli/cli.cpp:96-99).
@@ -566,6 +579,7 @@ def render_image(
             intersect_fn=intersect_fn,
             row0=row0,
             rows=rows,
+            grad_psum_axis=grad_psum_axis,
         )
         return (accumulate(buffers, color, normal, depth), rays + r), None
 
