@@ -68,3 +68,67 @@ def test_viewer_progressive_and_keys(sphere_scene):
     assert img.shape == (16, 16, 3)
     assert viewer.on_key(" ") and tracer.iteration == 0
     assert not viewer.on_key("q")
+
+
+def test_viewer_drag_look(sphere_scene):
+    """Right-drag look (reference app.cpp:73-115): motion during a
+    right-button drag turns the camera and restarts accumulation; motion
+    without the button held does nothing."""
+    tracer = PathTracer(sphere_scene, (16, 16), max_bounces=2)
+    ctl = FirstPersonCameraController()
+    viewer = InteractiveViewer(tracer, ctl)
+    viewer.FRAME_BUDGET_S = 0.0
+    viewer.step_frame()
+    assert tracer.iteration > 0
+
+    assert not viewer.on_mouse_motion(10.0, 10.0)  # no drag active
+    viewer.on_mouse_press(100.0, 100.0, button=1)  # left button: ignored
+    assert not viewer.on_mouse_motion(110.0, 100.0)
+
+    viewer.on_mouse_press(100.0, 100.0, button=3)
+    assert viewer.on_mouse_motion(150.0, 100.0)
+    assert ctl.yaw < 0  # dragging right turns right
+    assert tracer.iteration == 0  # camera move restarts accumulation
+
+    # canvas y grows UP in matplotlib; dragging the cursor up must pitch up
+    viewer.step_frame()
+    assert viewer.on_mouse_motion(150.0, 140.0)
+    assert ctl.pitch > 0
+    viewer.on_mouse_release(button=3)
+    assert not viewer.on_mouse_motion(0.0, 0.0)
+
+
+def test_viewer_panel_options(sphere_scene):
+    """Live parameter panel (reference gui.cpp:76-113, 167-206): denoiser
+    knobs apply without restarting; the method combo restarts and the next
+    frame really runs the other integrator (static jit key)."""
+    tracer = PathTracer(sphere_scene, (16, 16), max_bounces=2)
+    viewer = InteractiveViewer(tracer, FirstPersonCameraController())
+    viewer.FRAME_BUDGET_S = 0.0
+    img_mega = viewer.step_frame()
+
+    viewer.set_option("denoiser_enabled", True)
+    viewer.set_option("filter_size", 4)
+    viewer.set_option("color_weight", 0.9)
+    assert tracer.denoiser_enabled and tracer.filter_size == 4
+    assert abs(tracer.color_weight - 0.9) < 1e-9
+    img = viewer.step_frame()  # panel-enabled denoise path
+    assert img.shape == (16, 16, 3)
+
+    it_before = tracer.iteration
+    assert it_before > 0
+    viewer.set_option("method", "streaming")
+    assert tracer.method == "streaming" and tracer.iteration == 0
+    img_stream = viewer.step_frame()
+    assert img_stream.shape == (16, 16, 3)
+
+    try:
+        viewer.set_option("method", "warp")
+        raise AssertionError("unknown method accepted")
+    except ValueError:
+        pass
+    try:
+        viewer.set_option("no_such_knob", 1)
+        raise AssertionError("unknown option accepted")
+    except ValueError:
+        pass

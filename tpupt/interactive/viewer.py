@@ -2,12 +2,19 @@
 
 The reference's GLFW/ImGui app (src/interactive-app/) has no TPU analogue;
 its *capabilities* — progressive refinement within a frame budget, restart
-on camera move, denoiser toggle, display-buffer switching, FPS camera —
-are exposed here over matplotlib (SURVEY.md §7 step 7).  Runs anywhere a
-display (or Agg + saved frames) exists; the render itself runs on the TPU.
+on camera move, right-drag mouse look, a live parameter panel
+(denoiser sliders + render-method combo), display-buffer switching, FPS
+camera — are exposed here over matplotlib (SURVEY.md §7 step 7).  Runs
+anywhere a display (or Agg + saved frames) exists; the render itself runs
+on the TPU.
 
-Keys: wasd/rf move · arrows look · space restart · n/c/z/x buffer select
-      (final/color/normal/depth) · e toggle denoiser · q quit
+Keys:  wasd/rf move · arrows look · right-drag look · space restart ·
+       n/c/z/x buffer select (final/color/normal/depth) · e toggle
+       denoiser · q quit
+Panel: denoiser on/off + filter size + color/normal/position weights
+       (reference gui.cpp:76-113) and the mega/streaming method combo
+       (gui.cpp:167-206), rendered as matplotlib widgets in ``run()``;
+       the same knobs are scriptable headless via ``set_option``.
 """
 
 from __future__ import annotations
@@ -24,11 +31,20 @@ class InteractiveViewer:
     FRAME_BUDGET_S = 0.016  # reference renders as many iterations as fit
     # in 16 ms per frame (src/interactive-app/app.cpp:149-154)
 
+    #: live panel knobs -> PathTracer fields (reference ImGui panel,
+    #: gui.cpp:76-113; the method combo is gui.cpp:167-206)
+    PANEL_OPTIONS = (
+        "denoiser_enabled", "filter_size",
+        "color_weight", "normal_weight", "position_weight",
+        "method",
+    )
+
     def __init__(self, tracer: PathTracer, controller: FirstPersonCameraController):
         self.tracer = tracer
         self.controller = controller
         self.display_type = "final"
         self.denoise = False
+        self._drag: tuple[float, float] | None = None
 
     def step_frame(self) -> np.ndarray:
         """Progressively refine within the frame budget and return the
@@ -39,10 +55,11 @@ class InteractiveViewer:
             self.tracer.path_trace(camera)
             if time.perf_counter() - start > self.FRAME_BUDGET_S:
                 break
-        if self.denoise:
+        if self.denoise or self.tracer.denoiser_enabled:
             self.tracer.denoise(camera)
         return self.tracer.display(self.display_type)
 
+    # --- input events (headless-drivable; run() wires them to matplotlib) --
     def on_key(self, key: str) -> bool:
         """Handle one key; returns False to quit."""
         if key == "q":
@@ -65,11 +82,66 @@ class InteractiveViewer:
             }[key]
         return True
 
-    def run(self, max_frames: int | None = None) -> None:
+    def on_mouse_press(self, x: float, y: float, button: int = 3) -> None:
+        """Right-button press starts a look-drag (reference
+        app.cpp:73-115 drags with the right mouse button; matplotlib's
+        right button is 3)."""
+        if button == 3:
+            self._drag = (float(x), float(y))
+
+    def on_mouse_motion(self, x: float, y: float) -> bool:
+        """Drag-look: feed the pixel delta since the last event to the
+        controller and restart accumulation.  ``y`` is in matplotlib's
+        canvas coordinates (origin BOTTOM-left), so the vertical delta is
+        negated to the screen-down convention the controller expects
+        (GLFW cursor coords, controller.cpp:39-42).  Returns True when a
+        drag is active."""
+        if self._drag is None:
+            return False
+        dx = float(x) - self._drag[0]
+        dy = -(float(y) - self._drag[1])
+        self._drag = (float(x), float(y))
+        if dx or dy:
+            self.controller.on_mouse_move(dx, dy)
+            self.tracer.restart()
+        return True
+
+    def on_mouse_release(self, button: int = 3) -> None:
+        if button == 3:
+            self._drag = None
+
+    def set_option(self, name: str, value) -> None:
+        """Live parameter panel setter (reference ImGui sliders/combo,
+        gui.cpp:76-113, 167-206).  Changing the denoiser weights only
+        invalidates the denoised overlay; changing the render method
+        restarts accumulation (the reference restarts on path-tracing
+        option edits, app.cpp:49-71)."""
+        if name not in self.PANEL_OPTIONS:
+            raise ValueError(f"unknown panel option {name!r}")
+        if name == "method":
+            if value not in ("megakernel", "streaming"):
+                raise ValueError(f"unknown method {value!r}")
+            if value != self.tracer.method:
+                self.tracer.method = value
+                self.tracer.restart()
+            return
+        setattr(
+            self.tracer,
+            name,
+            bool(value) if name == "denoiser_enabled"
+            else int(value) if name == "filter_size"
+            else float(value),
+        )
+        # re-run the denoiser with the new weights on the next frame
+        self.tracer._denoised = None
+
+    # --- event loop -------------------------------------------------------
+    def run(self, max_frames: int | None = None, panel: bool = True) -> None:
         """matplotlib event loop (requires a GUI backend)."""
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots()
+        fig = plt.figure(figsize=(9, 6))
+        ax = fig.add_axes([0.02, 0.05, 0.64, 0.9])
         im = ax.imshow(self.step_frame())
         ax.set_axis_off()
         state = {"running": True}
@@ -78,7 +150,24 @@ class InteractiveViewer:
             if not self.on_key(event.key or ""):
                 state["running"] = False
 
+        def mouse_press(event):
+            if event.inaxes is ax and event.button is not None:
+                self.on_mouse_press(event.x, event.y, int(event.button))
+
+        def mouse_motion(event):
+            self.on_mouse_motion(event.x, event.y)
+
+        def mouse_release(event):
+            if event.button is not None:
+                self.on_mouse_release(int(event.button))
+
         fig.canvas.mpl_connect("key_press_event", key_press)
+        fig.canvas.mpl_connect("button_press_event", mouse_press)
+        fig.canvas.mpl_connect("motion_notify_event", mouse_motion)
+        fig.canvas.mpl_connect("button_release_event", mouse_release)
+
+        widgets = self._build_panel(fig) if panel else None  # noqa: F841
+
         frames = 0
         while state["running"] and plt.fignum_exists(fig.number):
             im.set_data(self.step_frame())
@@ -88,3 +177,35 @@ class InteractiveViewer:
             frames += 1
             if max_frames is not None and frames >= max_frames:
                 break
+
+    def _build_panel(self, fig):
+        """Denoiser + method widget column (kept alive by the caller —
+        matplotlib widgets are garbage-collected otherwise)."""
+        from matplotlib.widgets import CheckButtons, RadioButtons, Slider
+
+        t = self.tracer
+        cax = fig.add_axes([0.72, 0.80, 0.24, 0.10])
+        check = CheckButtons(cax, ["denoise"], [t.denoiser_enabled])
+        check.on_clicked(
+            lambda _l: self.set_option("denoiser_enabled", not t.denoiser_enabled)
+        )
+
+        sliders = []
+        for i, (name, lo, hi, val) in enumerate([
+            ("filter_size", 1, 40, t.filter_size),
+            ("color_weight", 0.0, 1.0, t.color_weight),
+            ("normal_weight", 0.0, 1.0, t.normal_weight),
+            ("position_weight", 0.0, 1.0, t.position_weight),
+        ]):
+            sax = fig.add_axes([0.78, 0.70 - 0.07 * i, 0.18, 0.03])
+            s = Slider(sax, name, lo, hi, valinit=val)
+            s.on_changed(lambda v, n=name: self.set_option(n, v))
+            sliders.append(s)
+
+        rax = fig.add_axes([0.72, 0.25, 0.24, 0.12])
+        radio = RadioButtons(
+            rax, ["megakernel", "streaming"],
+            active=0 if t.method == "megakernel" else 1,
+        )
+        radio.on_clicked(lambda label: self.set_option("method", label))
+        return check, sliders, radio

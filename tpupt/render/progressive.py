@@ -53,9 +53,13 @@ class PathTracer:
 
         # checked_jit == jax.jit unless TPUPT_DEBUG=1, which adds
         # NaN-output + OOB-index guards (tpupt/utils/debug.py)
-        @partial(checked_jit, static_argnums=(3, 4))
-        def _step(scene, camera, buffers, width, height):
-            if self.method == "streaming":
+        # ``method`` is a STATIC jit arg: it is read at trace time, so the
+        # live GUI method combo (interactive/viewer.py set_option) must key
+        # the jit cache — reading self.method from the closure would leave
+        # a stale trace after a switch.
+        @partial(checked_jit, static_argnums=(3, 4, 5))
+        def _step(scene, camera, buffers, width, height, method):
+            if method == "streaming":
                 from tpupt.render.wavefront import trace_sample_wavefront
 
                 color, normal, depth, rays = trace_sample_wavefront(
@@ -90,7 +94,7 @@ class PathTracer:
         if self.iteration >= self.max_iterations:
             return 0
         self.buffers, rays = self._step(
-            self.scene, camera, self.buffers, self.width, self.height
+            self.scene, camera, self.buffers, self.width, self.height, self.method
         )
         self._denoised = None
         return int(rays)
