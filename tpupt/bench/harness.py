@@ -73,7 +73,7 @@ def _scene_sphere():
     return d.build(), make_camera(vfov=np.pi / 2)
 
 
-def _scene_bunny():
+def _scene_bunny(leaf_size: int = 32):
     """The PRODUCT path (BASELINE config 3: 'obj triangle mesh + BVH,
     bunny scene from assets/models'): JSON parser -> OBJ loader (native)
     -> scene build -> SAH BVH (native) -> treelet bake.  The procedurally
@@ -88,7 +88,7 @@ def _scene_bunny():
     desc = scene_from_json(
         os.path.join(locate_asset_path(), "scenes", "bunny.json")
     )
-    return desc.build(), desc.camera
+    return desc.build(leaf_size=leaf_size), desc.camera
 
 
 def _scene_multimesh():
