@@ -322,11 +322,17 @@ def _next_treelet(scene, r, packet_idx):
     """Advance each packet to its nearest remaining hit treelet: returns
     (live (sz,), entry-with-winner-cleared, gathered block (sz, C*L),
     safe treelet id (sz,))."""
+    del packet_idx  # kept for signature stability
     tid = jnp.argmin(r["entry"], axis=-1).astype(jnp.int32)  # (sz,)
     ent = jnp.min(r["entry"], axis=-1)
     live = (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
     safe_tid = jnp.where(live, tid, 0)
-    entry = r["entry"].at[packet_idx, tid].set(BIG)
+    # clear the winner column by compare-select, not scatter: the
+    # .at[rows, tid].set(BIG) form compiled to a per-step scatter
+    # (~0.05 ms/step at sz=512 — 20x the array's HBM cost); an
+    # iota==tid select fuses with the argmin's other consumers.
+    iota_k = jnp.arange(r["entry"].shape[1], dtype=jnp.int32)[None, :]
+    entry = jnp.where(iota_k == tid[:, None], BIG, r["entry"])
     block = scene.tre_tris[safe_tid]  # one row-gather per packet
     return live, entry, block, safe_tid
 
@@ -366,7 +372,7 @@ def _dense_mt(scene, block, r, live, L):
     return ok, t
 
 
-def _winner_reduce(t_masked, block, L):
+def _winner_reduce(t_masked, block, L, extra_comps=()):
     """Single-pass winner selection over the L axis of a pair-test tensor.
 
     Variadic `lax.reduce` with a lexicographic min-by-(t, slot) combiner,
@@ -376,7 +382,12 @@ def _winner_reduce(t_masked, block, L):
     misses (never NaN: the MT `ok` mask rejects non-finite t), so the
     combiner is a proper commutative monoid with init (BIG, 0, ...).
 
-    Returns (t, j, nx, ny, nz, obj), each (sz, p).
+    ``extra_comps`` appends further block component payloads (the
+    differentiable path rides the winner's p0/e1/e2 out of the sweep this
+    way — one select per pair per channel, vs a per-lane row gather + the
+    (N, 9)-minor layout poison it spreads, measured 45% of fwd+bwd).
+
+    Returns (t, j, nx, ny, nz, obj, *extras), each (sz, p).
     """
     shape = t_masked.shape
     jb = jnp.broadcast_to(
@@ -386,7 +397,9 @@ def _winner_reduce(t_masked, block, L):
     def bc(c):
         return jnp.broadcast_to(_comp(block, c, L), shape)
 
-    operands = (t_masked, jb, bc(9), bc(10), bc(11), bc(12))
+    operands = (t_masked, jb, bc(9), bc(10), bc(11), bc(12)) + tuple(
+        bc(c) for c in extra_comps
+    )
     inits = (
         BIG,
         jnp.int32(0),
@@ -394,7 +407,7 @@ def _winner_reduce(t_masked, block, L):
         jnp.float32(0.0),
         jnp.float32(0.0),
         jnp.float32(-1.0),
-    )
+    ) + tuple(jnp.float32(0.0) for _ in extra_comps)
 
     def comb(a, b):
         # Strict `<` keeps the LEFT element on ties at every tree level,
@@ -408,6 +421,11 @@ def _winner_reduce(t_masked, block, L):
     return lax.reduce(operands, inits, comb, dimensions=(1,))
 
 
+# diff-payload block components (p0, e1, e2) and their extras keys
+_DIFF_COMPS = (0, 1, 2, 3, 4, 5, 6, 7, 8)
+_DIFF_KEYS = ("p0x", "p0y", "p0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z")
+
+
 def intersect_treelets(
     scene,
     ro: Vec3,  # components (N,)
@@ -415,6 +433,7 @@ def intersect_treelets(
     t_min: jnp.ndarray,  # (N,)
     t_seed: jnp.ndarray,  # (N,) current best t (e.g. from the sphere pass)
     active: jnp.ndarray,  # (N,)
+    diff_payload: bool = False,
 ):
     """Closest mesh hit for every ray.
 
@@ -445,6 +464,13 @@ def intersect_treelets(
     rows["ny"] = zero_p
     rows["nz"] = zero_p
     rows["obj"] = zero_p - 1.0
+    extra_keys = _DIFF_KEYS if diff_payload else ()
+    extra_comps = _DIFF_COMPS if diff_payload else ()
+    for k in extra_keys:
+        # non-degenerate defaults for never-updated lanes: a unit triangle
+        # (e1=x̂, e2=ŷ) keeps refine's cross/normalize NaN-free on lanes
+        # whose value is discarded but whose AD cotangent path still runs
+        rows[k] = zero_p + (1.0 if k in ("e1x", "e2y") else 0.0)
     # original packet index, for the final un-permutation
     rows["src"] = (
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
@@ -468,7 +494,9 @@ def intersect_treelets(
             # the reduce's fused producer; only (sz, p) outputs touch HBM.
             # Winner semantics are bit-identical: lexicographic (t, j)
             # min == first-index-of-min, payloads are exact block values.
-            t_new, j, wnx, wny, wnz, wobj = _winner_reduce(t_masked, block, L)
+            t_new, j, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
+                t_masked, block, L, extra_comps
+            )
             got = t_new < BIG
             new_slot = safe_tid[:, None] * L + j
 
@@ -480,6 +508,8 @@ def intersect_treelets(
             out["ny"] = jnp.where(got, wny, r["ny"])
             out["nz"] = jnp.where(got, wnz, r["nz"])
             out["obj"] = jnp.where(got, wobj, r["obj"])
+            for k, w in zip(extra_keys, wextra):
+                out[k] = jnp.where(got, w, r[k])
             return out
 
         return step
@@ -492,7 +522,7 @@ def intersect_treelets(
     slot_best = jnp.zeros((np_, p), jnp.int32).at[src].set(full["slot"]).reshape(-1)
     extras = {
         k: jnp.zeros((np_, p)).at[src].set(full[k]).reshape(-1)[:n]
-        for k in ("nx", "ny", "nz", "obj")
+        for k in ("nx", "ny", "nz", "obj") + extra_keys
     }
     return t_best[:n], slot_best[:n], extras
 

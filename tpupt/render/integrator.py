@@ -197,7 +197,10 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
     return total
 
 
-def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine):
+def _bounce_body(
+    scene, seed, state, bounce, rr_start, intersect_fn, use_refine,
+    tri_table=None,
+):
     """One wavefront bounce over all lanes.  ``bounce`` may be traced.
 
     ``use_refine``: the differentiable path recomputes the hit in closed
@@ -208,19 +211,45 @@ def _bounce_body(scene, seed, state, bounce, rr_start, intersect_fn, use_refine)
     alive = state["alive"]
     rays = state["rays"] + jnp.sum(alive, dtype=jnp.int32)
 
-    ids, fwd = intersect_fn(scene, state["ro"], state["rd"], state["t_min"], alive)
-    if use_refine or fwd is None:
-        # Tag the discrete hit ids as checkpoint-saved residuals: under the
-        # differentiable scan's rematerialization policy (trace_sample),
-        # saving these lets XLA dead-code-eliminate the traversal
-        # while_loop from the backward recompute — the sweep is pure
-        # discrete selection under stop_gradient, so only its ids matter.
-        ids = jax.tree_util.tree_map(
-            lambda x: checkpoint_name(x, "hit_ids"), ids
+    if use_refine and intersect_fn is intersect_scene_ids:
+        # Production differentiable path: the sweep carries the winner's
+        # world triangle (p0/e1/e2) out IN-REGISTER, so refine needs no
+        # per-lane table fetch (intersect.intersect_scene_ids_diff).
+        # Everything discrete is tagged as a saved residual so the
+        # backward recompute never re-runs the traversal while_loops.
+        from tpupt.render.intersect import intersect_scene_ids_diff
+
+        ids, tri_vals = intersect_scene_ids_diff(
+            scene, state["ro"], state["rd"], state["t_min"], alive
         )
-        hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
+        ids, tri_vals = jax.tree_util.tree_map(
+            lambda x: checkpoint_name(x, "hit_ids"), (ids, tri_vals)
+        )
+        if tri_vals is not None and tri_table is not None:
+            # hoisted differentiable slot table (built once per render,
+            # NOT a saved residual — it must stay a live AD value)
+            tri_vals["table"] = tri_table
+        hit = refine_hit(
+            scene, state["ro"], state["rd"], state["t_min"], ids,
+            tri_vals=tri_vals,
+        )
     else:
-        hit = fwd
+        ids, fwd = intersect_fn(
+            scene, state["ro"], state["rd"], state["t_min"], alive
+        )
+        if use_refine or fwd is None:
+            # Tag the discrete hit ids as checkpoint-saved residuals: under
+            # the differentiable scan's rematerialization policy
+            # (trace_sample), saving these lets XLA dead-code-eliminate the
+            # traversal while_loop from the backward recompute — the sweep
+            # is pure discrete selection under stop_gradient, so only its
+            # ids matter.
+            ids = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "hit_ids"), ids
+            )
+            hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
+        else:
+            hit = fwd
 
     hit_alive = alive & hit.mask
     miss = alive & ~hit.mask
@@ -317,6 +346,35 @@ def trace_sample(
     (tpupt/cpu_ref) shares this exact integrator — only the accelerator
     differs, which is what makes allclose tests meaningful.
     """
+    if differentiable and intersect_fn is intersect_scene_ids:
+        # Rebake the world-baked treelet table IN-TRACE from the current
+        # positions/transforms (scene/bake.py) whenever tracing
+        # differentiably: (a) the traced geometry always matches the
+        # parameters being differentiated (an optimizer's loss responds to
+        # position updates even without an external rebake), and (b) the
+        # sweep's in-register winner payload is bit-equal to the
+        # differentiable slot table refine scatters cotangents into
+        # (intersect._fetch_tri_rows contract).  O(K*L) — negligible next
+        # to the render, and under stop_gradient inside the sweep.
+        from tpupt.core.types import OBJ_MESH as _OM
+        from tpupt.render.intersect import slot_tri_table
+        from tpupt.scene.bake import rebake_treelets
+
+        if any(k == _OM for k in scene.s_obj_kind):
+            scene = rebake_treelets(scene)
+            tri_table = slot_tri_table(scene)
+            if grad_psum_axis is not None:
+                # Under a sharded mesh the hoisted (replicated) table must
+                # enter the bounce scan as a VARYING value, or the scan's
+                # backward cotangent-accumulator carry trips VMA typing
+                # (zeros init is unvarying, per-step contributions vary).
+                # psum_in_backward's pcast does that AND all-reduces the
+                # table cotangent exactly once, post-scan.
+                tri_table = psum_in_backward(tri_table, grad_psum_axis)
+        else:
+            tri_table = None
+    else:
+        tri_table = None
     state, seed, local = _init_paths(scene, camera, width, height, iteration, row0, rows)
 
     if not differentiable:
@@ -358,7 +416,8 @@ def trace_sample(
             )
             return (
                 _bounce_body(
-                    s, seed, st, b, rr_start, intersect_fn, use_refine=True
+                    s, seed, st, b, rr_start, intersect_fn, use_refine=True,
+                    tri_table=tri_table,
                 ),
                 None,
             )

@@ -26,7 +26,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from tpupt.accel.packets import intersect_treelets, intersect_treelets_anyhit
+from tpupt.accel.packets import (
+    _DIFF_KEYS as _PAYLOAD_KEYS,
+    intersect_treelets,
+    intersect_treelets_anyhit,
+)
 from tpupt.accel.traverse import traverse_mesh
 from tpupt.core import vec
 from tpupt.core.vec import Vec3
@@ -118,27 +122,7 @@ def _sphere_pass(scene, ro: Vec3, rd: Vec3, t_min, active, t_best, kind, obj_id,
     return t_best, kind, obj_id, prim_id, point, normal, front, mat
 
 
-def intersect_scene_ids(
-    scene: SceneArrays,
-    ro: Vec3,
-    rd: Vec3,
-    t_min: jnp.ndarray,
-    active: jnp.ndarray,
-) -> tuple[HitIds, jnp.ndarray]:
-    """Discrete closest-hit pass (production TPU path).
-
-    Spheres: unrolled vectorized scan.  Meshes: packet-treelet sweep
-    (accel/packets.py) over the world-baked global treelet table, seeded
-    with the sphere-pass t so treelets behind a sphere hit are skipped.
-    All inputs are stop_gradient'ed so internal while_loops never see
-    tangents.
-
-    Returns (ids, forward_hit): the forward Hit carries point / normal /
-    front / material computed with a single per-lane gather (slot -> mat);
-    the forward renderer consumes it directly, while the differentiable
-    renderer uses only ``ids`` + ``refine_hit`` (XLA dead-code-eliminates
-    whichever half is unused).
-    """
+def _intersect_ids_impl(scene, ro, rd, t_min, active, diff_payload):
     scene = lax.stop_gradient(scene)
     ro = lax.stop_gradient(ro)
     rd = lax.stop_gradient(rd)
@@ -154,10 +138,12 @@ def intersect_scene_ids(
         scene, ro, rd, t_min, active, t_best, kind, obj_id, prim_id
     )
 
+    tri_vals = None
     if any(k == OBJ_MESH for k in scene.s_obj_kind):
-        t_mesh, slot, ex = intersect_treelets(scene, ro, rd, t_min, t_best, active)
+        t_mesh, slot, ex = intersect_treelets(
+            scene, ro, rd, t_min, t_best, active, diff_payload=diff_payload
+        )
         take = slot >= 0
-        safe = jnp.maximum(slot, 0)
         t_best = jnp.where(take, t_mesh, t_best)
         kind = jnp.where(take, PRIM_TRIANGLE, kind)
         # winner metadata arrives IN-REGISTER from the sweep (extras):
@@ -167,9 +153,19 @@ def intersect_scene_ids(
         # 1M-lane forward render (DESIGN.md round-2 profile).
         obj_w = jnp.maximum(ex["obj"].astype(jnp.int32), 0)
         obj_id = jnp.where(take, obj_w, obj_id)
-        # triangle id: needed only by the differentiable refine pass —
-        # a standalone i32 gather the forward path dead-code-eliminates
-        prim_id = jnp.where(take, scene.slot_src[safe], prim_id)
+        if diff_payload:
+            # the diff path fetches the winner's world triangle by SLOT
+            # (refine_hit tri_vals) — the slot_src per-lane gather that
+            # used to populate a global-triangle prim_id measured 15% of
+            # the whole fwd+bwd step (prof_grad.py r2) and is skipped;
+            # prim_id keeps its sphere-pass value on triangle lanes.
+            tri_vals = {"slot": slot}
+            tri_vals.update({k: ex[k] for k in _PAYLOAD_KEYS})
+        else:
+            # triangle id: needed only by the (legacy) refine-by-prim-id
+            # path — a standalone i32 gather forward renders DCE away
+            safe = jnp.maximum(slot, 0)
+            prim_id = jnp.where(take, scene.slot_src[safe], prim_id)
         # forward triangle hit record (reference semantics:
         # point = ray(t), outward = normalize(cross(e1, e2)), side flip —
         # src/lib/intersections.cuh:71-82)
@@ -198,7 +194,59 @@ def intersect_scene_ids(
         front=front & mask,
         mat_id=mat,
     )
-    return HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best), fwd
+    ids = HitIds(kind=kind, obj_id=obj_id, prim_id=prim_id, t=t_best)
+    return ids, fwd, tri_vals
+
+
+def intersect_scene_ids(
+    scene: SceneArrays,
+    ro: Vec3,
+    rd: Vec3,
+    t_min: jnp.ndarray,
+    active: jnp.ndarray,
+) -> tuple[HitIds, jnp.ndarray]:
+    """Discrete closest-hit pass (production TPU path).
+
+    Spheres: unrolled vectorized scan.  Meshes: packet-treelet sweep
+    (accel/packets.py) over the world-baked global treelet table, seeded
+    with the sphere-pass t so treelets behind a sphere hit are skipped.
+    All inputs are stop_gradient'ed so internal while_loops never see
+    tangents.
+
+    Returns (ids, forward_hit): the forward Hit carries point / normal /
+    front / material computed with a single per-lane gather (slot -> mat);
+    the forward renderer consumes it directly, while the differentiable
+    renderer uses only ``ids`` + ``refine_hit`` (XLA dead-code-eliminates
+    whichever half is unused).
+    """
+    ids, fwd, _ = _intersect_ids_impl(scene, ro, rd, t_min, active, False)
+    return ids, fwd
+
+
+def intersect_scene_ids_diff(
+    scene: SceneArrays,
+    ro: Vec3,
+    rd: Vec3,
+    t_min: jnp.ndarray,
+    active: jnp.ndarray,
+):
+    """Production ids pass for the DIFFERENTIABLE renderer.
+
+    Like ``intersect_scene_ids`` but the sweep additionally carries the
+    winner's world-space (p0, e1, e2) out in-register (``tri_vals``),
+    so ``refine_hit`` needs NO per-lane table gather and no (N, 9)-minor
+    arrays — that machinery (slot_src gather, row gather, column slices,
+    layout copies) measured ~45% of the whole fwd+bwd step on v5e
+    (experiments/prof_grad.py).  tri_vals["slot"] indexes the slot-ordered
+    differentiable table the backward pass scatters cotangents into.
+
+    CONTRACT: the caller must trace against a scene whose treelet table
+    was rebaked IN-TRACE from ``scene.positions`` (scene/bake.py), so the
+    payload values are exactly the differentiable table's values;
+    ids.prim_id is NOT populated for triangle lanes.
+    """
+    ids, _fwd, tri_vals = _intersect_ids_impl(scene, ro, rd, t_min, active, True)
+    return ids, tri_vals
 
 
 def intersect_scene_ids_bvh(
@@ -339,12 +387,67 @@ class _LaneMat:
         return self._e[i * 4 + j]
 
 
+import jax as _jax
+import numpy as _np
+
+
+def slot_tri_table(scene: SceneArrays) -> jnp.ndarray:
+    """Differentiable (K*L, 9) slot-ordered [p0, e1, e2] table — the
+    scatter target of the diff refine path.  Loop-invariant: build it
+    ONCE per render (trace_sample hoists it out of the bounce scan; its
+    per-bounce rebuild + VJP measured ~35 ms of a 983 ms fwd+bwd step)."""
+    from tpupt.scene.bake import world_slot_tris
+
+    w0, w1, w2, _pad = world_slot_tris(scene)
+    we1, we2 = w1 - w0, w2 - w0
+    return jnp.stack(
+        [w0.x, w0.y, w0.z, we1.x, we1.y, we1.z, we2.x, we2.y, we2.z],
+        axis=1,
+    )
+
+
+@_jax.custom_vjp
+def _fetch_tri_rows(wtable, slot, vals):
+    """Winner triangle rows "fetched" from the differentiable slot table.
+
+    Forward: returns ``vals`` — the (p0, e1, e2) components the packet
+    sweep already selected IN-REGISTER (bit-equal to wtable[slot] rows
+    because the table was rebaked in-trace with the same elementwise
+    math), so no per-lane gather and no (N, 9)-minor array ever exists
+    in the forward pass.  Backward: the exact VJP of a wtable[slot] row
+    gather — ONE packed scatter-add of the stacked cotangents.  ``vals``
+    and ``slot`` are sweep outputs (already under stop_gradient); their
+    cotangents are zero/float0.
+    """
+    del wtable, slot
+    return vals
+
+
+def _fetch_tri_rows_fwd(wtable, slot, vals):
+    return vals, (slot, wtable.shape)
+
+
+def _fetch_tri_rows_bwd(res, cot):
+    slot, shape = res
+    cotm = jnp.stack(cot, axis=1)  # (N, 9) — backward only
+    g = jnp.zeros(shape, cotm.dtype).at[jnp.maximum(slot, 0)].add(cotm)
+    return (
+        g,
+        _np.zeros(slot.shape, dtype=_jax.dtypes.float0),
+        tuple(jnp.zeros_like(c) for c in cot),
+    )
+
+
+_fetch_tri_rows.defvjp(_fetch_tri_rows_fwd, _fetch_tri_rows_bwd)
+
+
 def refine_hit(
     scene: SceneArrays,
     ro: Vec3,
     rd: Vec3,
     t_min: jnp.ndarray,
     ids: HitIds,
+    tri_vals: dict | None = None,
 ) -> Hit:
     """Differentiable closed-form recomputation of the winning hit.
 
@@ -410,7 +513,27 @@ def refine_hit(
     # then fetch each lane's winner with ONE packed row gather.
     t_prim = jnp.where(ids.kind == PRIM_TRIANGLE, safe_prim, 0)
     mesh_objs = [o for o, k in enumerate(scene.s_obj_kind) if k == OBJ_MESH]
-    if mesh_objs:
+    if tri_vals is not None and mesh_objs:
+        # Winner rows ride out of the sweep in-register (tri_vals); the
+        # differentiable table they "came from" is the slot-ordered
+        # world-triangle build (slot_tri_table — the caller rebaked the
+        # traced table from positions with the same math, so the values
+        # are identical).  _fetch_tri_rows gives them the gather's VJP:
+        # one packed scatter into (K*L, 9), which flows to positions
+        # through the slot build.  No per-lane forward gather, no
+        # slot_src fetch, no (N, 9) arrays — that machinery measured
+        # ~45% of fwd+bwd (experiments/prof_grad.py round 2).
+        wtable = tri_vals.get("table")
+        if wtable is None:
+            wtable = slot_tri_table(scene)
+        vals = tuple(tri_vals[k] for k in _PAYLOAD_KEYS)
+        f0x, f0y, f0z, f1x, f1y, f1z, f2x, f2y, f2z = _fetch_tri_rows(
+            wtable, tri_vals["slot"], vals
+        )
+        p0 = Vec3(f0x, f0y, f0z)
+        e1 = Vec3(f1x, f1y, f1z)
+        e2 = Vec3(f2x, f2y, f2z)
+    elif mesh_objs:
         px, py, pz = scene.positions[:, 0], scene.positions[:, 1], scene.positions[:, 2]
         pool = Vec3(px, py, pz)
         blocks = []
@@ -464,7 +587,12 @@ def refine_hit(
     normal = vec.where(is_tri, tr_normal, sp_normal)
     t = jnp.where(is_tri, tr_t, sp_t)
     front = jnp.where(is_tri, tr_front, sp_front)
-    mat_id = scene.obj_mat[safe_obj]
+    if scene.obj_mat.shape[0] <= _ONEHOT_MAX_ROWS:
+        mat_id = _rows_by_onehot(
+            scene.obj_mat.astype(jnp.float32)[:, None], safe_obj
+        )[0].astype(jnp.int32)
+    else:
+        mat_id = scene.obj_mat[safe_obj]
 
     zero = Vec3.full((n,), 0.0, 0.0, 0.0)
     return Hit(

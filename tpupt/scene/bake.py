@@ -21,13 +21,15 @@ from tpupt.core.vec import Vec3
 _FAR = jnp.float32(3.0e37)
 
 
-def rebake_treelets(scene: SceneArrays) -> SceneArrays:
-    from tpupt.accel.treelets import BLOCK_COMPONENTS
+def world_slot_tris(scene: SceneArrays):
+    """Differentiable world-space triangle data in SLOT order.
 
-    K, ncols = scene.tre_tris.shape
-    L = scene.s_leaf_size
-    assert ncols == BLOCK_COMPONENTS * L
-
+    Returns (w0, w1, w2, pad): Vec3s of (K*L,) world vertices per treelet
+    slot, computed from ``scene.positions`` through the object transforms
+    — the same elementwise math the build-time bake runs, so values match
+    ``scene.tre_tris`` exactly after a rebake.  This is both rebake's
+    core and the table the differentiable refine pass scatters vertex
+    cotangents into (render/intersect._fetch_tri_rows)."""
     pad = scene.slot_src < 0
     src = jnp.maximum(scene.slot_src, 0)
     obj = jnp.maximum(scene.slot_obj, 0)
@@ -40,6 +42,19 @@ def rebake_treelets(scene: SceneArrays) -> SceneArrays:
     w0 = vec.transform_point(m, Vec3(px[i0], py[i0], pz[i0]))
     w1 = vec.transform_point(m, Vec3(px[i1], py[i1], pz[i1]))
     w2 = vec.transform_point(m, Vec3(px[i2], py[i2], pz[i2]))
+    return w0, w1, w2, pad
+
+
+def rebake_treelets(scene: SceneArrays) -> SceneArrays:
+    from tpupt.accel.treelets import BLOCK_COMPONENTS
+
+    K, ncols = scene.tre_tris.shape
+    L = scene.s_leaf_size
+    assert ncols == BLOCK_COMPONENTS * L
+
+    pad = scene.slot_src < 0
+    obj = jnp.maximum(scene.slot_obj, 0)
+    w0, w1, w2, pad = world_slot_tris(scene)
 
     far = jnp.full_like(w0.x, _FAR)
     zero = jnp.zeros_like(w0.x)
