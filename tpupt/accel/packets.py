@@ -48,6 +48,13 @@ _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
 # DIV=8 4.09 Mrays/s, DIV=4 5.03, DIV=2 5.86 (MIN 8 vs 32: no change).
 _LADDER_DIV = 2
 _LADDER_MIN = 32  # smallest rung (packets)
+# Sweep sub-steps composed per while-loop iteration.  Two treelet visits
+# per trip halve the sequential loop overhead (cond reduce + carry
+# materialization between iterations, ~29 us/step through the relay) and
+# let XLA fuse state updates across the pair.  Bit-identical: composing
+# the step function IS running two steps; a dead packet's extra sub-step
+# is a no-op (live=False masks every update).
+_STEPS_PER_ITER = 2
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 
@@ -361,9 +368,11 @@ def _dense_mt(scene, block, r, live, L):
     qz = sx * e1y - sy * e1x
     v = f * (dx * qx + dy * qy + dz * qz)
     t = f * (e2x * qx + e2y * qy + e2z * qz)
+    # NOTE no explicit u <= 1 test: v >= 0 and u + v <= 1 imply it
+    # (saves 2 VPU ops per pair on the hottest chain)
     ok = (
         (jnp.abs(a) >= MOLLER_EPS)
-        & (u >= 0.0) & (u <= 1.0)
+        & (u >= 0.0)
         & (v >= 0.0) & (u + v <= 1.0)
         & (t >= r["tmin"][:, None, :])
         & (t <= r["t"][:, None, :])
