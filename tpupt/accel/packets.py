@@ -48,13 +48,6 @@ _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
 # DIV=8 4.09 Mrays/s, DIV=4 5.03, DIV=2 5.86 (MIN 8 vs 32: no change).
 _LADDER_DIV = 2
 _LADDER_MIN = 32  # smallest rung (packets)
-# Sweep sub-steps composed per while-loop iteration.  Two treelet visits
-# per trip halve the sequential loop overhead (cond reduce + carry
-# materialization between iterations, ~29 us/step through the relay) and
-# let XLA fuse state updates across the pair.  Bit-identical: composing
-# the step function IS running two steps; a dead packet's extra sub-step
-# is a no-op (live=False masks every update).
-_STEPS_PER_ITER = 2
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 
@@ -388,8 +381,18 @@ def _winner_reduce(t_masked, block, L, extra_comps=()):
     carrying (nx, ny, nz, obj) from the packed block as payload — the
     fused equivalent of `argmin` + a one-hot metadata re-reduce, without
     the (sz, L, p) intermediate ever reaching HBM.  t_masked holds BIG on
-    misses (never NaN: the MT `ok` mask rejects non-finite t), so the
-    combiner is a proper commutative monoid with init (BIG, 0, ...).
+    misses (never NaN: the MT `ok` mask rejects non-finite t).
+
+    The strict `<` combiner keeps the LEFT element on ties, which is
+    associative but NOT commutative; the init (BIG, 0, ..., -1) is not a
+    strict identity (benign: callers mask with `got = t < BIG`).  XLA's
+    reduce evaluation order is implementation-defined for non-commutative
+    computations, so first-index tie-breaking on an EXACT-t tie relies on
+    XLA keeping lower-index partials as the left operand (true for every
+    backend/version tested; the explicit `(t_b == t_a) & (j_b < j_a)` tie
+    term would cost ~4% of the sweep's VPU ops and is deliberately
+    omitted — exact-t ties between distinct triangles are measure-zero
+    for the well-conditioned meshes the bit-identity tests use).
 
     ``extra_comps`` appends further block component payloads (the
     differentiable path rides the winner's p0/e1/e2 out of the sweep this
@@ -419,11 +422,9 @@ def _winner_reduce(t_masked, block, L, extra_comps=()):
     ) + tuple(jnp.float32(0.0) for _ in extra_comps)
 
     def comb(a, b):
-        # Strict `<` keeps the LEFT element on ties at every tree level,
-        # so the fold yields the earliest-index minimum regardless of how
-        # the reduction is associated — exactly `argmin` semantics — with
-        # no explicit (t ==) & (j <) tie term (measured ~10% of the
-        # sweep's VPU ops at L=32).
+        # Strict `<` keeps the LEFT element on ties at every tree level
+        # (see the docstring's tie-breaking caveat); no explicit
+        # (t ==) & (j <) term (measured ~10% of the combiner's VPU ops).
         take_b = b[0] < a[0]
         return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
 

@@ -19,7 +19,9 @@ PARAM_LEAVES = (
     "bg_down",
     "bg_up",
 )
-MATERIAL_LEAVES = ("albedo", "fuzz", "ior")
+# emission included: light radiance is a first-class optimizer parameter
+# and (since nee_emission was removed) its gradient covers the NEE term
+MATERIAL_LEAVES = ("albedo", "fuzz", "ior", "emission")
 
 
 def extract_params(scene: SceneArrays) -> dict:

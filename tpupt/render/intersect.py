@@ -301,32 +301,38 @@ def occlusion_anyhit(
     t_min: jnp.ndarray,
     t_limit: jnp.ndarray,
     active: jnp.ndarray,
-    exclude_obj: int,
+    exclude_obj,
 ) -> jnp.ndarray:
     """Production shadow test: True where any geometry other than object
-    ``exclude_obj`` (the sampled light, a static index) hits within
+    ``exclude_obj`` (the sampled light — a static index, or a per-lane
+    i32 array when each lane sampled its own light) hits within
     [t_min, t_limit].
 
     A shadow ray needs no winner bookkeeping: spheres run the same
-    object-space candidate test with the light excluded statically, and
-    meshes run the any-hit packet sweep (accel/packets.py), which exits a
-    packet the moment every live lane is occluded and culls treelets
-    beyond each lane's light distance.  Equivalent to the closest-hit
-    criterion "nearest hit is the light" except at exact-tie t values
-    (measure zero).
+    object-space candidate test with the light excluded (statically when
+    the index is static — skipping its test entirely — else by a per-lane
+    mask), and meshes run the any-hit packet sweep (accel/packets.py),
+    which exits a packet the moment every live lane is occluded and culls
+    treelets beyond each lane's light distance.  Equivalent to the
+    closest-hit criterion "nearest hit is the light" except at exact-tie
+    t values (measure zero).
     """
     scene = lax.stop_gradient(scene)
     ro = lax.stop_gradient(ro)
     rd = lax.stop_gradient(rd)
     t_min = lax.stop_gradient(t_min)
     t_limit = lax.stop_gradient(t_limit)
+    static_ex = isinstance(exclude_obj, int)
 
     occ = jnp.zeros_like(active)
     for o, (okind, oprim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
-        if okind != OBJ_SPHERE or o == exclude_obj:
+        if okind != OBJ_SPHERE or (static_ex and o == exclude_obj):
             continue
         hit, t_w, *_ = _sphere_candidate(scene, o, oprim, ro, rd, t_min, t_limit)
-        occ = occ | (active & hit)
+        take = active & hit
+        if not static_ex:
+            take = take & (exclude_obj != o)
+        occ = occ | take
     if any(k == OBJ_MESH for k in scene.s_obj_kind):
         occ = occ | intersect_treelets_anyhit(
             scene, ro, rd, t_min, t_limit, active & ~occ

@@ -52,7 +52,6 @@ def rebake_treelets(scene: SceneArrays) -> SceneArrays:
     L = scene.s_leaf_size
     assert ncols == BLOCK_COMPONENTS * L
 
-    pad = scene.slot_src < 0
     obj = jnp.maximum(scene.slot_obj, 0)
     w0, w1, w2, pad = world_slot_tris(scene)
 

@@ -242,9 +242,12 @@ class SceneDescription:
             obj_bmin.append(np.zeros(3))
             obj_bmax.append(np.zeros(3))
 
-        # NEE light list: world-space emissive spheres (uniform-scale
-        # transforms assumed, like the reference's sphere AABB math)
-        light_objs, l_centers, l_radii, l_emissions = [], [], [], []
+        # NEE light list: world-space emissive-sphere GEOMETRY (uniform-
+        # scale transforms assumed, like the reference's sphere AABB math).
+        # Emission radiance is NOT baked here — NEE reads it live from
+        # materials.emission via s_light_mats so emission stays one
+        # differentiable parameter for both estimator terms.
+        light_objs, light_mats, l_centers, l_radii = [], [], [], []
         for o, (kind, key, transform, material) in enumerate(self._objects):
             if kind != "sphere" or material not in mat_index:
                 continue
@@ -253,14 +256,14 @@ class SceneDescription:
                 continue
             center, radius = key
             light_objs.append(o)
+            light_mats.append(mat_index[material])
             l_centers.append(_np_transform_point(transform, center))
             l_radii.append(
                 np.linalg.norm(_np_transform_vector(transform, np.array([1.0, 0, 0])))
                 * radius
             )
-            l_emissions.append(p.get("emit", (0.0, 0.0, 0.0)))
         if not light_objs:
-            l_centers, l_radii, l_emissions = [np.zeros(3)], [0.0], [(0.0,) * 3]
+            l_centers, l_radii = [np.zeros(3)], [0.0]
 
         # world-space treelet table over all mesh instances
         mesh_data = [
@@ -310,11 +313,11 @@ class SceneDescription:
             bg_up=f32(self.bg_up),
             nee_center=f32(l_centers),
             nee_radius=f32(l_radii),
-            nee_emission=f32(l_emissions),
             s_obj_kind=tuple(obj_kind),
             s_obj_prim=tuple(obj_prim),
             s_mesh_root=tuple(mesh_roots) if mesh_roots else (0,),
             s_mesh_tri_range=tuple(mesh_tri_ranges) if mesh_tri_ranges else ((0, 1),),
             s_leaf_size=leaf_size,
             s_light_objs=tuple(light_objs),
+            s_light_mats=tuple(light_mats),
         )
