@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpupt.core.camera import generate_rays, make_camera, pixel_centers
-from tpupt.denoise.atrous import atrous_denoise, atrous_pass, _positions_from_depth
+from tpupt.denoise.atrous import atrous_denoise, atrous_pass, _position_planes
 
 KERNEL = [3 / 8, 1 / 4, 1 / 16]
 
@@ -90,7 +90,7 @@ def test_positions_from_depth_matches_rays():
     cam = make_camera(position=(1, 0, 0), vfov=np.pi / 3)
     h, w = 8, 8
     depth = jnp.full((h, w), 2.5)
-    pos = np.asarray(_positions_from_depth(depth, cam))
+    pos = np.stack([np.asarray(p) for p in _position_planes(depth, cam)], axis=-1)
     fx, fy = pixel_centers(w, h)
     ro, rd = generate_rays(cam, w, h, fx, fy)
     expect = np.asarray((ro + rd * 2.5).to_array()).reshape(h, w, 3)

@@ -55,6 +55,30 @@ MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 _SUPER = 16  # treelets per super-box (two-level cull; 8 vs 16 vs 32 measured 7.75/8.08/8.09 Mrays/s at 1024^2 spp=4)
 _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 
+# Treelets fetched + MT-tested per sweep step (and supers expanded per
+# expansion step): halves/quarters the lockstep trip count at unchanged
+# total pair work, amortizing per-step selection + carry overhead.
+# Measured on v5e (bunny 1024^2; fwd = spp16 headline, bwd = fwd+bwd
+# spp4): R=1 26.9 fwd; R=2 28.1 fwd / 6.2 bwd; R=4 26.2 fwd / 6.6 bwd —
+# step overhead is a real but minor term (+4%), and R=4's extra
+# beyond-termination pair waste eats the forward gain.  R=2 stands.
+# Winner semantics: the variadic reduce spans all R*L pairs min-by-
+# (t, slot), so results are identical to R sequential visits except when
+# two triangles in DIFFERENT treelets of the same trip tie at the exact
+# same t (sequential kept the later visit, the reduce keeps the lower
+# slot id) — measure-zero, same class as the in-step tie caveat above.
+FETCH_R = 2
+
+# Winner-selection lowering: "variadic" = one lax.reduce with a 6..15-
+# channel tuple combiner; "minsum" = native min/compare/sum reduces only
+# (see _winner_minsum).  Same winner bit-for-bit incl. tie-breaking.
+# Measured (bunny 1024^2 spp16 fwd, v5e): variadic 28.1 Mrays/s, minsum
+# 18.2 — the separate native reduces force XLA to rematerialize or
+# recompute the (sz, R*L, p) MT producer per consumer; the tuple
+# combiner, though serial over the pair axis, reads it ONCE.  Kept as a
+# measured negative result (DESIGN.md round 3).
+_WINNER_IMPL = "variadic"
+
 
 def _ladder_sizes(np_: int) -> list[int]:
     sizes = []
@@ -214,15 +238,27 @@ def _entry_twolevel(scene, rows, act_p):
 
     def make_step(sz):
         def step(r):
-            sid = jnp.argmin(r["sup"], axis=1).astype(jnp.int32)  # (sz,)
-            live = jnp.min(r["sup"], axis=1) < BIG
-            safe = jnp.where(live, sid, 0)
-            sup = jnp.where((iota_s == sid[:, None]) & live[:, None], BIG, r["sup"])
+            # Advance to the FETCH_R nearest remaining hit supers per trip
+            # (the expansion ladder is step-overhead-bound like the sweep;
+            # amortizing carry/selection over R supers at unchanged total
+            # slab work halves its lockstep trip count).
+            sup = r["sup"]
+            sids, lives, cbs = [], [], []
+            for _ in range(FETCH_R):
+                sid = jnp.argmin(sup, axis=1).astype(jnp.int32)  # (sz,)
+                live = jnp.min(sup, axis=1) < BIG
+                safe = jnp.where(live, sid, 0)
+                sup = jnp.where(
+                    (iota_s == sid[:, None]) & live[:, None], BIG, sup
+                )
+                sids.append(sid)
+                lives.append(live)
+                cbs.append(childtab[safe])  # (sz, 6*_SUPER) row gather
 
-            cb = childtab[safe]  # (sz, 6*_SUPER) contiguous row gather
-
-            def comp(a):  # component a of the _SUPER child boxes -> (sz, _SUPER, 1)
-                return cb[:, a * _SUPER : (a + 1) * _SUPER][:, :, None]
+            def comp(a):  # component a of the R*_SUPER child boxes
+                cols = [cb[:, a * _SUPER : (a + 1) * _SUPER] for cb in cbs]
+                cat = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+                return cat[:, :, None]
 
             def nf(axis, o, iv):
                 t0 = (comp(axis) - o[:, None, :]) * iv[:, None, :]
@@ -232,7 +268,7 @@ def _entry_twolevel(scene, rows, act_p):
             nx0, fx0 = nf(0, r["ox"], r["ivx"])
             ny0, fy0 = nf(1, r["oy"], r["ivy"])
             nz0, fz0 = nf(2, r["oz"], r["ivz"])
-            near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (sz, _SUPER, p)
+            near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (sz, R*_SUPER, p)
             far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
             hit = (
                 (far >= near)
@@ -240,18 +276,22 @@ def _entry_twolevel(scene, rows, act_p):
                 & (near <= r["tcap"][:, None, :])
                 & r["act"][:, None, :]
             )
-            ech = jnp.min(
+            ech_all = jnp.min(
                 jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
-            )  # (sz, _SUPER)
-            ech = jnp.where(live[:, None], ech, BIG)
-            # scatter-free write: tile matches col k with child k % _SUPER
-            efull = jnp.tile(ech, (1, ks))
-            mask = (col_super == sid[:, None]) & live[:, None] & col_valid
+            )  # (sz, R*_SUPER)
+            out_entry = r["entry"]
+            for ri, (sid, live) in enumerate(zip(sids, lives)):
+                ech = ech_all[:, ri * _SUPER : (ri + 1) * _SUPER]
+                ech = jnp.where(live[:, None], ech, BIG)
+                # scatter-free write: tile matches col k with child k % _SUPER
+                efull = jnp.tile(ech, (1, ks))
+                mask = (col_super == sid[:, None]) & live[:, None] & col_valid
+                out_entry = jnp.where(
+                    mask, jnp.minimum(out_entry, efull), out_entry
+                )
             out = dict(r)
             out["sup"] = sup
-            out["entry"] = jnp.where(
-                mask, jnp.minimum(r["entry"], efull), r["entry"]
-            )
+            out["entry"] = out_entry
             return out
 
         return step
@@ -310,40 +350,61 @@ def _packet_live(r):
     return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
 
 
-# Layout note: the dense MT runs on (sz, L, p) arrays — rays on the
+# Layout note: the dense MT runs on (sz, R*L, p) arrays — rays on the
 # MINOR axis (p=256 = 2 full 128-lane vectors), triangles on sublanes.
 # The transposed (sz, p, L) layout fills only 32 of 128 lanes with
 # L=32 leaves (measured 4.3x slower at 1M rays).
-def _comp(block, c, L):  # (sz, C*L) -> (sz, L, 1) component c
-    return block[:, c * L : (c + 1) * L][:, :, None]
+def _comp(blocks, c, L):
+    """[(sz, C*L)] blocks -> (sz, R*L, 1) component c, concatenated over
+    the fetched treelets (component-major packing per block)."""
+    cols = [b[:, c * L : (c + 1) * L] for b in blocks]
+    cat = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    return cat[:, :, None]
 
 
-def _next_treelet(scene, r, packet_idx):
-    """Advance each packet to its nearest remaining hit treelet: returns
-    (live (sz,), entry-with-winner-cleared, gathered block (sz, C*L),
-    safe treelet id (sz,))."""
-    del packet_idx  # kept for signature stability
-    tid = jnp.argmin(r["entry"], axis=-1).astype(jnp.int32)  # (sz,)
-    ent = jnp.min(r["entry"], axis=-1)
-    live = (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
-    safe_tid = jnp.where(live, tid, 0)
-    # clear the winner column by compare-select, not scatter: the
-    # .at[rows, tid].set(BIG) form compiled to a per-step scatter
-    # (~0.05 ms/step at sz=512 — 20x the array's HBM cost); an
-    # iota==tid select fuses with the argmin's other consumers.
-    iota_k = jnp.arange(r["entry"].shape[1], dtype=jnp.int32)[None, :]
-    entry = jnp.where(iota_k == tid[:, None], BIG, r["entry"])
-    block = scene.tre_tris[safe_tid]  # one row-gather per packet
-    return live, entry, block, safe_tid
+def _next_treelets_r(scene, r, R, L):
+    """Advance each packet to its R nearest remaining hit treelets.
+
+    Returns (entry-with-R-winners-cleared, blocks [R x (sz, C*L)],
+    live_pairs (sz, R*L) bool, slot_pairs (sz, R*L) i32 global slot ids).
+    Exhausted packets (fewer than R candidates left, or nearest entry
+    beyond every live lane's best t) get masked fetches of row 0 — their
+    pairs are killed by live_pairs, and their entry columns are NOT
+    cleared, exactly like the single-fetch step.
+    """
+    entry = r["entry"]
+    tmax = jnp.max(r["t"], axis=1)
+    iota_k = jnp.arange(entry.shape[1], dtype=jnp.int32)[None, :]
+    iota_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    blocks, lives, slots = [], [], []
+    for _ in range(R):
+        ent = jnp.min(entry, axis=-1)
+        tid = jnp.argmin(entry, axis=-1).astype(jnp.int32)
+        valid = (ent < BIG) & (ent <= tmax)
+        safe_tid = jnp.where(valid, tid, 0)
+        # clear the winner column by compare-select, not scatter: the
+        # .at[rows, tid].set(BIG) form compiled to a per-step scatter
+        # (~0.05 ms/step at sz=512 — 20x the array's HBM cost); an
+        # iota==tid select fuses with the argmin's other consumers.
+        entry = jnp.where(
+            (iota_k == tid[:, None]) & valid[:, None], BIG, entry
+        )
+        blocks.append(scene.tre_tris[safe_tid])
+        lives.append(jnp.broadcast_to(valid[:, None], (valid.shape[0], L)))
+        slots.append(safe_tid[:, None] * L + iota_l)
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
+    return entry, blocks, cat(lives), cat(slots)
 
 
-def _dense_mt(scene, block, r, live, L):
-    """Dense Möller–Trumbore over a gathered treelet block: (sz, L, p)
-    pair masks + ts.  Returns (ok, t, safe_tid-compatible block) — the
-    winner reduction differs between closest-hit and any-hit callers."""
-    p0x, p0y, p0z = _comp(block, 0, L), _comp(block, 1, L), _comp(block, 2, L)
-    e1x, e1y, e1z = _comp(block, 3, L), _comp(block, 4, L), _comp(block, 5, L)
-    e2x, e2y, e2z = _comp(block, 6, L), _comp(block, 7, L), _comp(block, 8, L)
+def _dense_mt(scene, blocks, r, live_pairs, L):
+    """Dense Möller–Trumbore over gathered treelet blocks: (sz, R*L, p)
+    pair masks + ts.  ``live_pairs`` is a (sz, R*L) per-pair-row validity
+    mask (a broadcast (sz,) packet mask in the single-fetch callers).
+    Returns (ok, t) — the winner reduction differs between closest-hit
+    and any-hit callers."""
+    p0x, p0y, p0z = _comp(blocks, 0, L), _comp(blocks, 1, L), _comp(blocks, 2, L)
+    e1x, e1y, e1z = _comp(blocks, 3, L), _comp(blocks, 4, L), _comp(blocks, 5, L)
+    e2x, e2y, e2z = _comp(blocks, 6, L), _comp(blocks, 7, L), _comp(blocks, 8, L)
 
     ox, oy, oz = r["rox"][:, None, :], r["roy"][:, None, :], r["roz"][:, None, :]
     dx, dy, dz = r["rdx"][:, None, :], r["rdy"][:, None, :], r["rdz"][:, None, :]
@@ -369,19 +430,21 @@ def _dense_mt(scene, block, r, live, L):
         & (v >= 0.0) & (u + v <= 1.0)
         & (t >= r["tmin"][:, None, :])
         & (t <= r["t"][:, None, :])
-        & live[:, None, None]
+        & live_pairs[:, :, None]
     )
     return ok, t
 
 
-def _winner_reduce(t_masked, block, L, extra_comps=()):
-    """Single-pass winner selection over the L axis of a pair-test tensor.
+def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=()):
+    """Single-pass winner selection over the R*L pair axis of a pair-test
+    tensor.
 
     Variadic `lax.reduce` with a lexicographic min-by-(t, slot) combiner,
-    carrying (nx, ny, nz, obj) from the packed block as payload — the
-    fused equivalent of `argmin` + a one-hot metadata re-reduce, without
-    the (sz, L, p) intermediate ever reaching HBM.  t_masked holds BIG on
-    misses (never NaN: the MT `ok` mask rejects non-finite t).
+    carrying the GLOBAL slot id (``slot_pairs``) plus (nx, ny, nz, obj)
+    from the packed blocks as payload — the fused equivalent of `argmin`
+    + a one-hot metadata re-reduce, without the (sz, R*L, p) intermediate
+    ever reaching HBM.  t_masked holds BIG on misses (never NaN: the MT
+    `ok` mask rejects non-finite t).
 
     The strict `<` combiner keeps the LEFT element on ties, which is
     associative but NOT commutative; the init (BIG, 0, ..., -1) is not a
@@ -399,15 +462,15 @@ def _winner_reduce(t_masked, block, L, extra_comps=()):
     way — one select per pair per channel, vs a per-lane row gather + the
     (N, 9)-minor layout poison it spreads, measured 45% of fwd+bwd).
 
-    Returns (t, j, nx, ny, nz, obj, *extras), each (sz, p).
+    Returns (t, slot, nx, ny, nz, obj, *extras), each (sz, p).
     """
+    if _WINNER_IMPL == "minsum":
+        return _winner_minsum(t_masked, blocks, L, slot_pairs, extra_comps)
     shape = t_masked.shape
-    jb = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[None, :, None], shape
-    )
+    jb = jnp.broadcast_to(slot_pairs[:, :, None], shape)
 
     def bc(c):
-        return jnp.broadcast_to(_comp(block, c, L), shape)
+        return jnp.broadcast_to(_comp(blocks, c, L), shape)
 
     operands = (t_masked, jb, bc(9), bc(10), bc(11), bc(12)) + tuple(
         bc(c) for c in extra_comps
@@ -429,6 +492,43 @@ def _winner_reduce(t_masked, block, L, extra_comps=()):
         return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
 
     return lax.reduce(operands, inits, comb, dimensions=(1,))
+
+
+def _winner_minsum(t_masked, blocks, L, slot_pairs, extra_comps=()):
+    """Winner selection via NATIVE single-channel reduces only.
+
+    A variadic tuple reduce lowers to a sequential combiner over the pair
+    axis; native min/sum reduces vectorize.  Same winner, exactly:
+
+      1. t   = min over pairs of t_masked                (native min)
+      2. slot = min over pairs of slot where t == t-min  (native min)
+         -> the LOWEST slot id among exact-t ties, identical to the
+         lexicographic (t, slot) combiner
+      3. each metadata channel = sum over pairs of (slot_pair == slot) *
+         value — exactly one pair matches, so the sum IS the selection
+         (native add reduces; all share the MT producer in one fusion)
+    """
+    shape = t_masked.shape
+    t_new = jnp.min(t_masked, axis=1)  # (sz, p)
+    is_min = t_masked == t_new[:, None, :]
+    slotb = jnp.broadcast_to(slot_pairs[:, :, None], shape)
+    slot_new = jnp.min(
+        jnp.where(is_min, slotb, jnp.int32(2**31 - 1)), axis=1
+    )
+    w = is_min & (slotb == slot_new[:, None, :])
+
+    def sel(c):
+        comp = jnp.broadcast_to(_comp(blocks, c, L), shape)
+        return jnp.sum(jnp.where(w, comp, 0.0), axis=1)
+
+    metas = tuple(sel(c) for c in (9, 10, 11, 12) + tuple(extra_comps))
+    # no-hit lanes: every pair is BIG -> w is all-True garbage; callers
+    # mask with got = t < BIG exactly as for the variadic path, but the
+    # summed metadata must not overflow/NaN — BIG pads carry finite
+    # block values (3e37 coords, 0 normals), and the obj channel must
+    # come out negative on pads like the variadic init; both hold
+    # because got masks every consumer.
+    return (t_new, slot_new) + metas
 
 
 # diff-payload block components (p0, e1, e2) and their extras keys
@@ -487,28 +587,26 @@ def intersect_treelets(
     )
 
     def make_step(sz):
-        packet_idx = jnp.arange(sz, dtype=jnp.int32)
-
         def step(r):
-            live, entry, block, safe_tid = _next_treelet(scene, r, packet_idx)
-            ok, t = _dense_mt(scene, block, r, live, L)
+            entry, blocks, live_pairs, slot_pairs = _next_treelets_r(
+                scene, r, FETCH_R, L
+            )
+            ok, t = _dense_mt(scene, blocks, r, live_pairs, L)
             t_masked = jnp.where(ok, t, BIG)
-            # Winner selection + metadata in ONE variadic reduce over L:
-            # min-by-(t, slot-index) carrying the packed cross-normal and
-            # object id as payload.  The previous two-pass form (argmin,
-            # then a one-hot re-reduce over the same (sz, L, p) data for
-            # the metadata) forced XLA to MATERIALIZE the pair tensor
-            # between the passes — measured 35% of the forward render at
-            # 1M lanes (0.29 ms/step at sz=2048, HBM-bound on the 67 MB
-            # intermediate).  A single reduce keeps the whole MT chain as
-            # the reduce's fused producer; only (sz, p) outputs touch HBM.
-            # Winner semantics are bit-identical: lexicographic (t, j)
-            # min == first-index-of-min, payloads are exact block values.
-            t_new, j, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
-                t_masked, block, L, extra_comps
+            # Winner selection + metadata in ONE variadic reduce over the
+            # R*L pair axis: min-by-(t, slot) carrying the packed
+            # cross-normal and object id as payload.  The previous
+            # two-pass form (argmin, then a one-hot re-reduce over the
+            # same (sz, L, p) data for the metadata) forced XLA to
+            # MATERIALIZE the pair tensor between the passes — measured
+            # 35% of the forward render at 1M lanes (0.29 ms/step at
+            # sz=2048, HBM-bound on the 67 MB intermediate).  A single
+            # reduce keeps the whole MT chain as the reduce's fused
+            # producer; only (sz, p) outputs touch HBM.
+            t_new, new_slot, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
+                t_masked, blocks, L, slot_pairs, extra_comps
             )
             got = t_new < BIG
-            new_slot = safe_tid[:, None] * L + j
 
             out = dict(r)
             out["entry"] = entry
@@ -568,11 +666,11 @@ def intersect_treelets_anyhit(
     )
 
     def make_step(sz):
-        packet_idx = jnp.arange(sz, dtype=jnp.int32)
-
         def step(r):
-            live, entry, block, _tid = _next_treelet(scene, r, packet_idx)
-            ok, _t = _dense_mt(scene, block, r, live, L)
+            entry, blocks, live_pairs, _slots = _next_treelets_r(
+                scene, r, FETCH_R, L
+            )
+            ok, _t = _dense_mt(scene, blocks, r, live_pairs, L)
             occ_new = jnp.any(ok, axis=1)  # (sz, p)
             out = dict(r)
             out["entry"] = entry

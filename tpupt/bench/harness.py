@@ -177,7 +177,9 @@ CONFIGS = {
     # headline config — MUST match bench.py's defaults (1024^2, spp=16,
     # 50-bounce cap, RR from bounce 8); stated in BASELINE.md
     "bunny": dict(scene=_scene_bunny, size=1024, spp=16, mb=50, rr=8),
-    "diff": dict(scene=_scene_sphere, size=256, spp=1, mb=4, rr=None),
+    # config 4 at PRODUCTION size (round-2 verdict Weak #5: 256^2 hid the
+    # denoiser's cost; 1-spp render + differentiable denoise + mat grads)
+    "diff": dict(scene=_scene_sphere, size=1024, spp=1, mb=4, rr=None),
     "multimesh": dict(scene=_scene_multimesh, size=1024, spp=16, mb=8, rr=4),
 }
 

@@ -7,6 +7,12 @@ edge-padded whole-image shift — pure dense VPU math that XLA fuses into a
 handful of elementwise loops, and reverse-mode differentiable end-to-end
 (BASELINE config 4 needs gradients *through* the denoiser).
 
+Layout: all hot math runs on per-channel (H, W) PLANES.  On TPU the minor
+axis maps to the 128 vector lanes, so an (H, W, 3) array uses 3 of 128
+lanes on every elementwise op — the exact poison DESIGN.md measures at
+~100x on the render path.  Channels are split once on entry and stacked
+once on exit; every tap/weight op in between is full-width (H, W).
+
 Semantics preserved from the reference:
   * B3-spline weights {3/8, 1/4, 1/16} indexed by min(|dx|, |dy|)  (cu:39,79)
   * edge-stopping weight = c_w * n_w * p_w with
@@ -31,19 +37,56 @@ from tpupt.core.types import Camera
 _KERNEL = (3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
-def _positions_from_depth(depth: jnp.ndarray, camera: Camera) -> jnp.ndarray:
-    """(H, W) depth -> (H, W, 3) world positions via pixel-center rays."""
+def _position_planes(depth: jnp.ndarray, camera: Camera):
+    """(H, W) depth -> 3 world-position planes via pixel-center rays."""
     h, w = depth.shape
     fx, fy = cam.pixel_centers(w, h)
     ro, rd = cam.generate_rays(camera, w, h, fx, fy)  # Vec3 of (H*W,)
     pos = ro + rd * depth.reshape(-1)
-    return pos.to_array().reshape(h, w, 3)
+    return [pos.x.reshape(h, w), pos.y.reshape(h, w), pos.z.reshape(h, w)]
 
 
 def _shift(padded: jnp.ndarray, dy: int, dx: int, pad: int, h: int, w: int):
-    """Slice a (H, W, C) window shifted by (dy, dx) out of an edge-padded
-    array; clamped-border semantics come from the 'edge' padding."""
+    """Slice an (H, W) window shifted by (dy, dx) out of an edge-padded
+    plane; clamped-border semantics come from the 'edge' padding."""
     return padded[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+
+
+def _atrous_pass_planes(
+    cs: list, ns: list, ps: list, step: int,
+    color_weight: float, normal_weight: float, position_weight: float,
+) -> list:
+    """One à-trous pass at dilation ``step`` over per-channel planes."""
+    h, w = cs[0].shape
+    pad = 2 * step
+    pc = [jnp.pad(c, pad, mode="edge") for c in cs]
+    pn = [jnp.pad(n, pad, mode="edge") for n in ns]
+    pp = [jnp.pad(p, pad, mode="edge") for p in ps]
+
+    step2 = jnp.float32(step * step)
+    acc = [jnp.zeros_like(cs[0]) for _ in range(3)]
+    cum_w = jnp.zeros_like(cs[0])
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            sy, sx = dy * step, dx * step
+            ct = [_shift(p, sy, sx, pad, h, w) for p in pc]
+            nt = [_shift(p, sy, sx, pad, h, w) for p in pn]
+            pt = [_shift(p, sy, sx, pad, h, w) for p in pp]
+
+            dc2 = sum((c - t) ** 2 for c, t in zip(cs, ct))
+            c_w = jnp.minimum(jnp.exp(-dc2 / color_weight), 1.0)
+            dn2 = sum((n - t) ** 2 for n, t in zip(ns, nt))
+            n_w = jnp.minimum(
+                jnp.exp(-jnp.maximum(dn2 / step2, 0.0) / normal_weight), 1.0
+            )
+            dp2 = sum((p - t) ** 2 for p, t in zip(ps, pt))
+            p_w = jnp.minimum(jnp.exp(-dp2 / position_weight), 1.0)
+
+            weight = c_w * n_w * p_w * _KERNEL[min(abs(dx), abs(dy))]
+            acc = [a + t * weight for a, t in zip(acc, ct)]
+            cum_w = cum_w + weight
+    inv = 1.0 / cum_w
+    return [a * inv for a in acc]
 
 
 def atrous_pass(
@@ -55,40 +98,16 @@ def atrous_pass(
     normal_weight: float,
     position_weight: float,
 ) -> jnp.ndarray:
-    """One à-trous pass at dilation ``step`` (static int)."""
-    h, w = color.shape[:2]
-    pad = 2 * step
-    pc = jnp.pad(color, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-    pn = jnp.pad(normal, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-    pp = jnp.pad(pos, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-
-    step2 = jnp.float32(step * step)
-    acc = jnp.zeros_like(color)
-    cum_w = jnp.zeros(color.shape[:2], color.dtype)
-    for dy in range(-2, 3):
-        for dx in range(-2, 3):
-            ct = _shift(pc, dy * step, dx * step, pad, h, w)
-            nt = _shift(pn, dy * step, dx * step, pad, h, w)
-            pt = _shift(pp, dy * step, dx * step, pad, h, w)
-
-            dc = color - ct
-            c_w = jnp.minimum(
-                jnp.exp(-jnp.sum(dc * dc, -1) / color_weight), 1.0
-            )
-            dn = normal - nt
-            n_w = jnp.minimum(
-                jnp.exp(-jnp.maximum(jnp.sum(dn * dn, -1) / step2, 0.0) / normal_weight),
-                1.0,
-            )
-            dp = pos - pt
-            p_w = jnp.minimum(
-                jnp.exp(-jnp.sum(dp * dp, -1) / position_weight), 1.0
-            )
-
-            weight = c_w * n_w * p_w * _KERNEL[min(abs(dx), abs(dy))]
-            acc = acc + ct * weight[..., None]
-            cum_w = cum_w + weight
-    return acc / cum_w[..., None]
+    """One à-trous pass at dilation ``step`` (static int) over (H, W, 3)
+    arrays — a convenience wrapper; the plane split/stack happens per
+    call, so multi-pass callers should prefer ``atrous_denoise``."""
+    out = _atrous_pass_planes(
+        [color[..., i] for i in range(3)],
+        [normal[..., i] for i in range(3)],
+        [pos[..., i] for i in range(3)],
+        step, color_weight, normal_weight, position_weight,
+    )
+    return jnp.stack(out, axis=-1)
 
 
 def atrous_denoise(
@@ -103,12 +122,16 @@ def atrous_denoise(
 ) -> jnp.ndarray:
     """Full denoise: doubling dilations while step <= filter_size.
     Inputs are (H, W, 3)/(H, W); returns (H, W, 3).  Fully differentiable
-    w.r.t. color/normal/depth and the camera."""
-    pos = _positions_from_depth(depth, camera)
+    w.r.t. color/normal/depth and the camera.  Channels are split to
+    (H, W) planes once here and stacked once at the end (layout note in
+    the module docstring)."""
+    ps = _position_planes(depth, camera)
+    cs = [color[..., i] for i in range(3)]
+    ns = [normal[..., i] for i in range(3)]
     step = 1
     while step <= filter_size:
-        color = atrous_pass(
-            color, normal, pos, step, color_weight, normal_weight, position_weight
+        cs = _atrous_pass_planes(
+            cs, ns, ps, step, color_weight, normal_weight, position_weight
         )
         step *= 2
-    return color
+    return jnp.stack(cs, axis=-1)
