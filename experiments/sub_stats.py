@@ -209,7 +209,7 @@ def main():
     print(f"simulated {nrays} primary rays in {time.time()-t0:.1f}s")
     print(f"visits/ray:        {visits * P / nrays:.1f}")
     print(f"pairs/ray (L={L}):  {pairs / nrays:.0f}")
-    print(f"sub-block survival per visit (S<= {S + 2}): "
+    print("sub-block survival per visit (count:share): "
           + ", ".join(f"{k}:{v / max(tot, 1):.0%}" for k, v in sorted(sub_hist.items())))
     print(f"pairs/ray if only surviving sub-blocks tested: {sub_pairs / nrays:.0f}")
     print(f"sub-granularity visits/ray (leaf-{Ls} sweep):   {subvisits * P / nrays:.1f}")

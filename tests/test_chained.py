@@ -61,3 +61,32 @@ def test_chained_bit_identical_nee_lights(camera):
 
 def test_chained_spp1(sphere_scene, camera):
     _compare(sphere_scene, camera, spp=1, max_bounces=4)
+
+
+def test_chain_ladder_matches_flat(full_scene, camera):
+    """The packet-row ladder (integrator._run_chain_ladder) is pure
+    scheduling: EXACT ray counts and per-pixel values matching the flat
+    chained loop at cross-program-structure tolerance."""
+    import tpupt.render.integrator as integ
+
+    w = h = 64  # 16 packet rows
+    buf_flat, rays_flat = render_image(
+        full_scene, camera, w, h, 3, max_bounces=6
+    )
+
+    orig_min, orig_div = integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV
+    integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV = 2, 2
+    try:
+        buf_lad, rays_lad = render_image(
+            full_scene, camera, w, h, 3, max_bounces=6
+        )
+    finally:
+        integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV = orig_min, orig_div
+
+    assert int(rays_flat) == int(rays_lad)  # EXACT segment-count parity
+    np.testing.assert_allclose(
+        np.asarray(buf_lad.color), np.asarray(buf_flat.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(buf_lad.depth), np.asarray(buf_flat.depth), atol=2e-5
+    )

@@ -81,6 +81,34 @@ def test_sharded_grads_match_single_device(sphere_scene, camera, mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_grads_posthoc_mesh_scene(full_scene, camera, mesh):
+    """Post-hoc collective placement (overlap_grad_psum=False) on a MESH
+    scene: regression for the hoisted-slot-table VMA crash — without the
+    overlap pcast the hoisted replicated table's backward cotangent
+    accumulator crossed the bounce scan unvarying -> varying and shard_map
+    rejected the program (round 3); the fix rebuilds the table per bounce
+    in this mode.  Grads must still match single-device."""
+    target = jnp.zeros((W * H, 3))
+    loss_s, grads_s = render_loss_and_grads_sharded(
+        full_scene, camera, target, W, H, 1, mesh, max_bounces=3,
+        overlap_grad_psum=False,
+    )
+
+    def loss_fn(params):
+        scene = with_params(full_scene, params)
+        buf, _ = render_image(scene, camera, W, H, 1, max_bounces=3,
+                              differentiable=True)
+        return jnp.sum((buf.color - target) ** 2)
+
+    loss_1, grads_1 = jax.value_and_grad(loss_fn)(extract_params(full_scene))
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_s), jax.tree_util.tree_leaves(grads_1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_uneven_height_raises(sphere_scene, camera, mesh):
     with pytest.raises(ValueError, match="not divisible"):
         render_image_sharded(sphere_scene, camera, W, 30, 1, mesh)

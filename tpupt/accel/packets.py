@@ -62,12 +62,16 @@ _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 # spp4): R=1 26.9 fwd; R=2 28.1 fwd / 6.2 bwd; R=4 26.2 fwd / 6.6 bwd —
 # step overhead is a real but minor term (+4%), and R=4's extra
 # beyond-termination pair waste eats the forward gain.  R=2 stands.
-# Winner semantics: the variadic reduce spans all R*L pairs min-by-
-# (t, slot), so results are identical to R sequential visits except when
-# two triangles in DIFFERENT treelets of the same trip tie at the exact
-# same t (sequential kept the later visit, the reduce keeps the lower
-# slot id) — measure-zero, same class as the in-step tie caveat above.
+# Winner semantics: the variadic reduce spans all R*L pairs with the
+# fetched treelets concatenated in REVERSE visit order, which makes the
+# keep-left-on-tie combiner reproduce sequential visits exactly — see
+# _next_treelets_r (exact-t ties across treelets are real: shared-edge
+# hits of unjittered rays).
 FETCH_R = 2
+# The DIFFERENTIABLE ids pass prefers R=4: its 15-channel payload reduce
+# amortizes better over wider steps, and the bwd-relevant grad-forward
+# sweeps dominate its cost (R=2 6.17 vs R=4 6.59 Mrays/s fwd+bwd).
+FETCH_R_DIFF = 4
 
 # Winner-selection lowering: "variadic" = one lax.reduce with a 6..15-
 # channel tuple combiner; "minsum" = native min/compare/sum reduces only
@@ -371,6 +375,15 @@ def _next_treelets_r(scene, r, R, L):
     beyond every live lane's best t) get masked fetches of row 0 — their
     pairs are killed by live_pairs, and their entry columns are NOT
     cleared, exactly like the single-fetch step.
+
+    The returned lists are in REVERSE fetch order (farthest first): the
+    winner reduce keeps the LEFT operand on exact-t ties, so putting the
+    later-visited (farther) treelet's pairs first reproduces sequential
+    visit semantics bit-for-bit — a later visit's equal-t hit replaces an
+    earlier one (`t <= r["t"]`).  Exact-t ties across treelets are NOT
+    measure-zero in practice: an unjittered ray through a shared triangle
+    edge hits both adjacent triangles at the same t (caught by
+    tests/test_pallas_sweep.py's regular ray grid).
     """
     entry = r["entry"]
     tmax = jnp.max(r["t"], axis=1)
@@ -389,9 +402,11 @@ def _next_treelets_r(scene, r, R, L):
         entry = jnp.where(
             (iota_k == tid[:, None]) & valid[:, None], BIG, entry
         )
-        blocks.append(scene.tre_tris[safe_tid])
-        lives.append(jnp.broadcast_to(valid[:, None], (valid.shape[0], L)))
-        slots.append(safe_tid[:, None] * L + iota_l)
+        blocks.insert(0, scene.tre_tris[safe_tid])
+        lives.insert(
+            0, jnp.broadcast_to(valid[:, None], (valid.shape[0], L))
+        )
+        slots.insert(0, safe_tid[:, None] * L + iota_l)
     cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
     return entry, blocks, cat(lives), cat(slots)
 
@@ -586,10 +601,12 @@ def intersect_treelets(
         zero_p[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32)
     )
 
+    fetch_r = FETCH_R_DIFF if diff_payload else FETCH_R
+
     def make_step(sz):
         def step(r):
             entry, blocks, live_pairs, slot_pairs = _next_treelets_r(
-                scene, r, FETCH_R, L
+                scene, r, fetch_r, L
             )
             ok, t = _dense_mt(scene, blocks, r, live_pairs, L)
             t_masked = jnp.where(ok, t, BIG)

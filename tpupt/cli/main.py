@@ -118,19 +118,33 @@ def main(argv=None) -> int:
     # dispatch per chunk instead of one per sample (the reference CLI's
     # per-sample loop, src/cli/cli.cpp:96-99, costs ~6 ms relay latency
     # per spp here and runs the slower unchained loop — round-2 verdict
-    # Weak #3).  A chunk is also the checkpoint granularity.
+    # Weak #3).  A chunk is also the checkpoint granularity.  Per-chunk
+    # timing separates the FIRST dispatch — which pays the one-time
+    # program compile-or-load (minutes through a TPU relay even on a
+    # compile-cache hit) — from steady-state throughput, which matches
+    # bench.py's.
     chunk = max(1, args.chunk)
     total_rays = 0
+    chunk_stats = []  # (seconds, ray segments) per dispatched chunk
     t0 = time.perf_counter()
     with profile_ctx:
         while tracer.iteration < desc.spp:
             n = min(chunk, desc.spp - tracer.iteration)
-            total_rays += tracer.path_trace_many(desc.camera, n)
+            tc = time.perf_counter()
+            r = tracer.path_trace_many(desc.camera, n)
+            jax.block_until_ready(tracer.buffers.color)
+            chunk_stats.append((time.perf_counter() - tc, r))
+            total_rays += r
             if args.checkpoint and tracer.iteration < desc.spp:
-                jax.block_until_ready(tracer.buffers.color)
                 tracer.save_checkpoint(args.checkpoint)
-        jax.block_until_ready(tracer.buffers.color)
     trace_secs = time.perf_counter() - t0
+
+    if len(chunk_stats) >= 2:
+        steady_secs = sum(t for t, _ in chunk_stats[1:])
+        steady_rays = sum(r for _, r in chunk_stats[1:])
+    else:
+        steady_secs, steady_rays = trace_secs, total_rays
+    steady_mrays = steady_rays / max(steady_secs, 1e-9) / 1e6
 
     if args.checkpoint:
         tracer.save_checkpoint(args.checkpoint)
@@ -150,6 +164,12 @@ def main(argv=None) -> int:
     print(sw.report())
     mrays = total_rays / max(trace_secs, 1e-9) / 1e6
     print(f"Traced {total_rays} ray segments in {trace_secs:.3f}s = {mrays:.2f} Mrays/s")
+    if len(chunk_stats) >= 2:
+        print(
+            f"Steady-state: {steady_mrays:.2f} Mrays/s over "
+            f"{len(chunk_stats) - 1} chunks (first dispatch paid "
+            f"{chunk_stats[0][0]:.1f}s of one-time program compile/load)"
+        )
 
     if args.stats_json:
         with open(args.stats_json, "w") as fh:
@@ -161,6 +181,11 @@ def main(argv=None) -> int:
                     "rays": total_rays,
                     "path_tracing_secs": trace_secs,
                     "mrays_per_sec": mrays,
+                    # excludes the first chunk's one-time program
+                    # compile/load; equals mrays_per_sec when only one
+                    # chunk was dispatched
+                    "mrays_per_sec_steady": steady_mrays,
+                    "first_dispatch_secs": chunk_stats[0][0] if chunk_stats else 0.0,
                     "stages": dict(sw.stages),
                 },
                 fh,

@@ -165,7 +165,11 @@ def render_loss_and_grads_sharded(
                 differentiable=True,
                 row0=row0[0],
                 rows=rows_per,
-                grad_psum_axis="tiles" if overlap_grad_psum else None,
+                # the axis is required either way (the replicated scene's
+                # backward cotangent accumulators need the owning pcast —
+                # trace_sample docstring); overlap picks the placement
+                grad_psum_axis="tiles",
+                grad_psum_overlap=overlap_grad_psum,
             )
             return jnp.sum((buffers.color - target_tile) ** 2)
 

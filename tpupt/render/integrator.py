@@ -414,6 +414,7 @@ def trace_sample(
     row0=0,
     rows: int | None = None,
     grad_psum_axis: str | None = None,
+    grad_psum_overlap: bool = True,
 ):
     """Trace one sample-per-pixel pass.
 
@@ -423,6 +424,17 @@ def trace_sample(
     ``intersect_fn`` is pluggable so the brute-force CPU reference renderer
     (tpupt/cpu_ref) shares this exact integrator — only the accelerator
     differs, which is what makes allclose tests meaningful.
+
+    ``grad_psum_axis`` + ``grad_psum_overlap`` pick the scene-parameter
+    gradient collective placement under shard_map: overlapped = one psum
+    per bounce inside the backward scan step (diff/overlap.py), post-hoc
+    = one psum after the whole backward.  Differentiating inside
+    shard_map REQUIRES one of them: every replicated scene leaf consumed
+    by the scan body gets a backward cotangent accumulator, and without
+    the owning pcast that accumulator enters the scan device-invariant
+    while its per-step contributions are device-varying — shard_map's
+    VMA typing rejects the program (latent round-2 bug, surfaced by the
+    post-hoc scaling bench on mesh scenes).
     """
     if differentiable and intersect_fn is intersect_scene_ids:
         # Rebake the world-baked treelet table IN-TRACE from the current
@@ -438,10 +450,17 @@ def trace_sample(
         from tpupt.render.intersect import slot_tri_table
         from tpupt.scene.bake import rebake_treelets
 
+        if grad_psum_axis is not None and not grad_psum_overlap:
+            # post-hoc placement: ONE pcast/psum around everything — the
+            # backward psums the summed scene cotangent once, after the
+            # scan (and the pcast gives every leaf, incl. the hoisted
+            # table derived below, the varying VMA the scan's backward
+            # accumulators need — see docstring)
+            scene = psum_in_backward(scene, grad_psum_axis)
         if any(k == _OM for k in scene.s_obj_kind):
             scene = rebake_treelets(scene)
             tri_table = slot_tri_table(scene)
-            if grad_psum_axis is not None:
+            if grad_psum_axis is not None and grad_psum_overlap:
                 # Under a sharded mesh the hoisted (replicated) table must
                 # enter the bounce scan as a VARYING value, or the scan's
                 # backward cotangent-accumulator carry trips VMA typing
@@ -489,7 +508,7 @@ def trace_sample(
             # backward compute runs.
             s = (
                 psum_in_backward(scene, grad_psum_axis)
-                if grad_psum_axis is not None
+                if grad_psum_axis is not None and grad_psum_overlap
                 else scene
             )
             return (
@@ -540,6 +559,20 @@ def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
     )
 
 
+# Packet-row ladder for the chained loop: the bounce BODY (shade, RNG,
+# accumulation — ~46% of the forward render, round-3 profile) runs full
+# width for every chained trip, but trip demand is wildly uneven across
+# lanes (37 max vs ~13 average at spp=4): the straggler tail pays ~3x in
+# dead-lane elementwise passes.  Rungs shrink the processed slice by
+# _CHAIN_DIV once at most 1/_CHAIN_DIV of the packet rows still have an
+# unfinished lane; live rows compact to the front with CONTIGUOUS
+# (sz, 256) row moves (full HBM bandwidth — per-lane permutes measured
+# ~60 ms/op at 1M lanes, experiments/octant_probe.py).  Lanes never
+# interact (per-lane RNG/accumulation), so this is pure scheduling.
+_CHAIN_DIV = 4
+_CHAIN_MIN_ROWS = 64  # smallest rung; below DIV*MIN rows, use the flat loop
+
+
 def _render_chained(
     scene,
     camera,
@@ -562,6 +595,9 @@ def _render_chained(
     folds the sample into its own accumulator and immediately starts its
     next sample, so the total trip count is the *maximum over lanes of
     summed path lengths* (≈ spp × average + one tail) instead of spp × max.
+    Large renders additionally run the trips on a packet-row compaction
+    ladder (_CHAIN_DIV above) so the straggler tail executes on a
+    geometrically shrinking slice.
 
     Per-lane bounce counters feed the same counter-based RNG, the same
     (n−1)/n progressive average runs per lane at its own sample index, and
@@ -571,34 +607,39 @@ def _render_chained(
     across program shapes — tests/test_chained.py), with far fewer
     dead-lane sweeps.
     """
+    from tpupt.accel.packets import PACKET
+
     rows = height if rows is None else rows
     n = width * rows
     pix, local = _band_pixels(width, rows, row0)
     it0 = jnp.asarray(start_iteration, jnp.int32)
 
     st, seed = _fresh_state(scene, camera, width, height, pix, it0)
-    st["rays"] = (pix[0] * jnp.uint32(0)).astype(jnp.int32)
     zf = st["depth"] * 0.0
     zero3 = Vec3(zf, zf, zf)
     carry = dict(
         st=st,
+        pix=pix,
         seed=seed,
         bounce=zf.astype(jnp.int32),
         k=zf.astype(jnp.int32),  # per-lane finished-sample count
         done=zf != 0.0,
+        segs=zf.astype(jnp.int32),  # per-lane traced segment count
         acc_color=zero3,
         acc_normal=zero3,
         acc_depth=zf,
     )
 
-    def cond(c):
-        return jnp.any(~c["done"])
-
-    def body(c):
+    def trip(c):
+        """One chained trip over c's lanes (any size)."""
+        st_in = dict(c["st"])
+        st_in["rays"] = jnp.int32(0)  # counted per-lane in segs instead
         st2 = _bounce_body(
-            scene, c["seed"], c["st"], c["bounce"], rr_start, intersect_fn,
+            scene, c["seed"], st_in, c["bounce"], rr_start, intersect_fn,
             use_refine=False,
         )
+        st2.pop("rays")
+        segs = c["segs"] + c["st"]["alive"].astype(jnp.int32)
         b2 = c["bounce"] + 1
         capped = st2["alive"] & (b2 >= max_bounces)
         ended = ~c["done"] & (~st2["alive"] | capped)
@@ -625,7 +666,9 @@ def _render_chained(
         done2 = c["done"] | (ended & (k2 >= spp))
         need = ended & (k2 < spp)
 
-        fresh, fresh_seed = _fresh_state(scene, camera, width, height, pix, it0 + k2)
+        fresh, fresh_seed = _fresh_state(
+            scene, camera, width, height, c["pix"], it0 + k2
+        )
         st3 = {}
         for key in fresh:
             if key == "alive":
@@ -634,19 +677,32 @@ def _render_chained(
                 st3[key] = vec.where(need, fresh[key], st2[key])
             else:
                 st3[key] = jnp.where(need, fresh[key], st2[key])
-        st3["rays"] = st2["rays"]
         return dict(
             st=st3,
+            pix=c["pix"],
             seed=jnp.where(need, fresh_seed, c["seed"]),
             bounce=jnp.where(need, 0, b2),
             k=k2,
             done=done2,
+            segs=segs,
             acc_color=acc_color,
             acc_normal=acc_normal,
             acc_depth=acc_depth,
         )
 
-    carry = lax.while_loop(cond, body, carry)
+    np_ = n // PACKET
+    use_ladder = (
+        local is None
+        and n % PACKET == 0
+        and np_ >= _CHAIN_DIV * _CHAIN_MIN_ROWS
+    )
+    if not use_ladder:
+        def cond(c):
+            return jnp.any(~c["done"])
+
+        carry = lax.while_loop(cond, trip, carry)
+    else:
+        carry = _run_chain_ladder(carry, trip, np_, spp * max_bounces)
 
     color = carry["acc_color"].to_array()
     normal = carry["acc_normal"].to_array()
@@ -661,7 +717,72 @@ def _render_chained(
         depth=depth,
         iteration=it0 + spp,
     )
-    return buffers, carry["st"]["rays"]
+    return buffers, jnp.sum(carry["segs"], dtype=jnp.int32)
+
+
+def _run_chain_ladder(carry, trip, np_, max_trips):
+    """Run chained trips on a shrinking packet-row slice (see _CHAIN_DIV).
+
+    Each rung while-loops ``trip`` over the leading sz*PACKET lanes until
+    at most sz/_CHAIN_DIV rows still hold an unfinished lane (or
+    ``max_trips`` — spp*max_bounces is a hard bound on any lane's trip
+    demand: every trip consumes one bounce of the lane's current path, so
+    at the bound every lane is provably done and smaller rungs can't
+    strand live rows).  Between rungs, rows with live lanes compact to
+    the front (contiguous row moves); the epilogue un-permutes.
+    """
+    from tpupt.accel.packets import PACKET
+
+    sizes = []
+    sz = np_
+    while True:
+        sizes.append(sz)
+        if sz <= _CHAIN_MIN_ROWS:
+            break
+        sz = max(_CHAIN_MIN_ROWS, sz // _CHAIN_DIV)
+
+    tm = jax.tree_util.tree_map
+    src = jnp.arange(np_, dtype=jnp.int32) + carry["segs"][::PACKET] * 0
+    full = carry
+    for li, sz in enumerate(sizes):
+        m = sz * PACKET
+        sub = tm(lambda v: v[:m], full)
+        last = li == len(sizes) - 1
+        threshold = 0 if last else sz // _CHAIN_DIV
+
+        def cond(c_, sz=sz, threshold=threshold):
+            i, c = c_
+            live = jnp.sum(
+                jnp.any(~c["done"].reshape(sz, PACKET), axis=1),
+                dtype=jnp.int32,
+            )
+            return (i < max_trips) & (live > threshold)
+
+        def body(c_):
+            i, c = c_
+            return i + 1, trip(c)
+
+        _, sub = lax.while_loop(cond, body, (jnp.int32(0), sub))
+        full = tm(lambda v, s: v.at[: s.shape[0]].set(s), full, sub)
+        if not last:
+            live_r = jnp.any(~sub["done"].reshape(sz, PACKET), axis=1)
+            order = jnp.argsort(~live_r, stable=True).astype(jnp.int32)
+
+            def rowperm(v, order=order, sz=sz, m=m):
+                return v.at[:m].set(
+                    v[:m].reshape(sz, PACKET)[order].reshape(m)
+                )
+
+            full = tm(rowperm, full)
+            src = src.at[:sz].set(src[:sz][order])
+
+    # un-permute rows to original order
+    inv = jnp.zeros_like(src).at[src].set(jnp.arange(np_, dtype=jnp.int32))
+
+    def unperm(v):
+        return v.reshape(np_, PACKET)[inv].reshape(-1)
+
+    return tm(unperm, full)
 
 
 def render_image(
@@ -679,6 +800,7 @@ def render_image(
     rows: int | None = None,
     chain_samples: bool = True,
     grad_psum_axis: str | None = None,
+    grad_psum_overlap: bool = True,
 ):
     """Render ``spp`` progressive samples (the CLI loop,
     reference src/cli/cli.cpp:96-99).
@@ -717,6 +839,7 @@ def render_image(
             row0=row0,
             rows=rows,
             grad_psum_axis=grad_psum_axis,
+            grad_psum_overlap=grad_psum_overlap,
         )
         return (accumulate(buffers, color, normal, depth), rays + r), None
 
