@@ -65,6 +65,13 @@ class InteractiveViewer:
     def moving(self) -> bool:
         return (time.perf_counter() - self._last_motion) < self.MOVE_IDLE_S
 
+    #: bounce cap for motion previews: the full-res loop's latency is
+    #: TRIP-bound at preview widths (up to ~37 masked bounce trips of a
+    #: few ms each through the relay), so the preview clamps path length
+    #: — measured 120 ms -> well under the 100 ms motion budget.  A
+    #: moving 1/4-res preview is an approximation by design.
+    PREVIEW_MAX_BOUNCES = 8
+
     def _preview_tracer(self) -> PathTracer:
         """Lazy 1/PREVIEW_SCALE-resolution tracer sharing the scene — one
         extra jit cache entry, no other machinery."""
@@ -72,10 +79,11 @@ class InteractiveViewer:
         w = max(self.tracer.width // s, 8)
         h = max(self.tracer.height // s, 8)
         if self._preview is None or (self._preview.width, self._preview.height) != (w, h):
+            rr = self.tracer.rr_start
             self._preview = PathTracer(
                 self.tracer.scene, (w, h),
-                max_bounces=self.tracer.max_bounces,
-                rr_start=self.tracer.rr_start,
+                max_bounces=min(self.PREVIEW_MAX_BOUNCES, self.tracer.max_bounces),
+                rr_start=min(rr, 2) if rr is not None else 2,
             )
         return self._preview
 
@@ -90,9 +98,13 @@ class InteractiveViewer:
         camera = self.controller.camera()
         if self.moving and self.PREVIEW_SCALE > 1:
             pv = self._preview_tracer()
-            pv.restart()
-            pv.path_trace(camera)
-            img = pv.display(self.display_type)
+            if self.display_type in ("final", "color"):
+                # one-dispatch fused trace+tonemap (PathTracer.preview_frame)
+                img = pv.preview_frame(camera, self.PREVIEW_MAX_BOUNCES)
+            else:  # normal/depth previews keep the buffer machinery
+                pv.restart()
+                pv.path_trace(camera)
+                img = pv.display(self.display_type)
             sy = -(-self.tracer.height // pv.height)  # per-axis factors:
             sx = -(-self.tracer.width // pv.width)  # the min-8 clamp can
             return np.repeat(np.repeat(img, sy, axis=0), sx, axis=1)[

@@ -569,8 +569,13 @@ def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
 # (sz, 256) row moves (full HBM bandwidth — per-lane permutes measured
 # ~60 ms/op at 1M lanes, experiments/octant_probe.py).  Lanes never
 # interact (per-lane RNG/accumulation), so this is pure scheduling.
-_CHAIN_DIV = 4
-_CHAIN_MIN_ROWS = 64  # smallest rung; below DIV*MIN rows, use the flat loop
+# Measured (bunny 1024² spp16 headline, v5e): flat 28.1 -> DIV=4 34.0 ->
+# DIV=2 37.2 Mrays/s (MIN_ROWS 64 vs 32: equal; 32 kept for the finer
+# tail).  Each extra rung duplicates the trip body (incl. the sweep's
+# own nested ladder) in the program — compile cost, amortized by the
+# persistent cache.
+_CHAIN_DIV = 2
+_CHAIN_MIN_ROWS = 32  # smallest rung; below DIV*MIN rows, use the flat loop
 
 
 def _render_chained(

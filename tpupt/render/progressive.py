@@ -109,6 +109,36 @@ class PathTracer:
 
         self._chunk_step = _chunk_step
 
+        # One-dispatch motion preview: trace ONE sample and tonemap to
+        # uint8 ON DEVICE, so a preview frame costs exactly one jitted
+        # dispatch + one small D2H.  The unfused path (restart ->
+        # path_trace -> display) pays 3-4 relay round-trips of scalar
+        # readbacks and a float D2H — measured ~110 ms/frame at 256²
+        # through the relay, ~4x the render itself.
+        @partial(checked_jit, static_argnums=(2, 3, 4))
+        def _preview_step(scene, camera, width, height, max_bounces):
+            color, _n, _d, _r = trace_sample(
+                scene, camera, width, height, 0,
+                max_bounces=max_bounces,
+                rr_start=2 if self.rr_start is None else min(self.rr_start, 2),
+            )
+            # reference preview_kernel semantics (utils/image.to_uint8):
+            # gamma 1/2.2, clamp * 255.99 — on device
+            c = jnp.power(jnp.maximum(color, 0.0), 1.0 / 2.2)
+            return (jnp.clip(c, 0.0, 1.0) * 255.99).astype(jnp.uint8)
+
+        self._preview_step = _preview_step
+
+    def preview_frame(self, camera: Camera, max_bounces: int = 8) -> np.ndarray:
+        """One-sample uint8 preview at this tracer's resolution in a
+        single device dispatch (motion preview for the interactive
+        viewer; does not touch the progressive accumulators)."""
+        img = self._preview_step(
+            self.scene, camera, self.width, self.height,
+            min(max_bounces, self.max_bounces),
+        )
+        return np.asarray(img).reshape(self.height, self.width, 3)
+
     # --- reference API surface (path_tracer.hpp:60-99) -----------------
     def resize_image(self, resolution: tuple[int, int]) -> None:
         self.width, self.height = int(resolution[0]), int(resolution[1])
