@@ -58,6 +58,10 @@ def test_cli_renders_png_with_stats(tiny_scene, tmp_path):
     s = json.loads(stats.read_text())
     assert s["spp"] == 2 and s["resolution"] == [32, 24]
     assert s["rays"] > 32 * 24  # at least one bounce segment per pixel
+    # steady-state throughput (excludes the first dispatch's one-time
+    # program compile/load) is always reported
+    assert s["mrays_per_sec_steady"] > 0
+    assert s["first_dispatch_secs"] > 0
 
     # --spp override (reference scene_parser.cpp:15)
     r2 = _run_cli([tiny_scene, "-o", str(out), "--spp", "1",

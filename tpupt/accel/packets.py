@@ -70,7 +70,7 @@ _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 FETCH_R = 2
 # The DIFFERENTIABLE ids pass prefers R=4: its 15-channel payload reduce
 # amortizes better over wider steps, and the bwd-relevant grad-forward
-# sweeps dominate its cost (R=2 6.17 vs R=4 6.59 Mrays/s fwd+bwd).
+# sweeps dominate its cost (R=2 6.17, R=4 6.59, R=8 6.45 Mrays/s fwd+bwd).
 FETCH_R_DIFF = 4
 
 # Winner-selection lowering: "variadic" = one lax.reduce with a 6..15-
