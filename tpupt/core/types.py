@@ -145,6 +145,16 @@ class SceneArrays:
     nee_center: jnp.ndarray  # (Ls, 3) f32
     nee_radius: jnp.ndarray  # (Ls,) f32
 
+    # Triangle-area lights: world-baked triangles of emissive MESH
+    # instances, sampled by NEE area-proportionally (spheres alone would
+    # leave emissive meshes BSDF-only — and, with NEE active, their
+    # emission gated off after diffuse bounces: lost light).
+    # Packed rows [p0(3), e1(3), e2(3), obj, mat]; placeholder row when
+    # none (s_tri_light_count gates statically).
+    tri_light_pack: jnp.ndarray  # (Lt, 11) f32
+    tri_light_cum: jnp.ndarray  # (Lt,) f32 — normalized cumulative area
+    tri_light_area: jnp.ndarray  # () f32 — total area (world units)
+
     # --- static (non-pytree) scene structure ---------------------------
     # kind per object: OBJ_SPHERE or OBJ_MESH
     s_obj_kind: tuple = struct.field(pytree_node=False, default=())
@@ -161,6 +171,8 @@ class SceneArrays:
     # material index per NEE light (static): the emission read goes
     # through materials.emission so light gradients flow end-to-end
     s_light_mats: tuple = struct.field(pytree_node=False, default=())
+    # number of emissive-mesh light triangles (static; 0 = no such lights)
+    s_tri_light_count: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_objects(self) -> int:

@@ -186,9 +186,10 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
     """Next-event estimation from every diffuse hit (BASELINE north star:
     'per-bounce BSDF shading + next-event estimation').
 
-    <= NEE_UNROLL_MAX lights: statically unrolled loop, one shadow sweep
-    per light.  Above: one uniformly sampled light per lane, one sweep
-    total (see NEE_UNROLL_MAX)."""
+    Sphere lights: <= NEE_UNROLL_MAX lights get a statically unrolled
+    loop (one shadow sweep per light); above, one uniformly sampled light
+    per lane, one sweep total (see NEE_UNROLL_MAX).  Emissive MESHES
+    contribute one area-sampled triangle term (_nee_mesh_light)."""
     from tpupt.render.materials import _material_rows
 
     mtype, albedo, _fuzz, _ior, _emit = _material_rows(scene, hit.mat_id)
@@ -198,14 +199,24 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
     p = hit.point + n * 1e-4
     zf = hit.t * 0.0
 
+    zero3 = Vec3(zf, zf, zf)
+    mesh_term = (
+        _nee_mesh_light(
+            scene, p, n, diffuse, albedo, throughput, seed, bounce,
+            intersect_fn, zf,
+        )
+        if scene.s_tri_light_count > 0
+        else zero3
+    )
+
     nl = len(scene.s_light_objs)
     if nl > NEE_UNROLL_MAX:
-        return _nee_sampled_light(
+        return mesh_term + _nee_sampled_light(
             scene, p, n, diffuse, albedo, throughput, seed, bounce,
             intersect_fn, zf,
         )
 
-    total = Vec3(zf, zf, zf)
+    total = mesh_term
     for li, lo in enumerate(scene.s_light_objs):
         center = Vec3(
             scene.nee_center[li, 0] + zf,
@@ -270,6 +281,82 @@ def _nee_sampled_light(scene, p, n, diffuse, albedo, throughput, seed,
     )
     cos_p = jnp.maximum(n.dot(direction), 0.0)
     scale = cos_p * INV_PI / pdf * jnp.float32(nl)
+    contrib = throughput * albedo * scale * emit
+    zero3 = Vec3(zf, zf, zf)
+    return vec.where(lit, contrib, zero3)
+
+
+def _nee_mesh_light(scene, p, n, diffuse, albedo, throughput, seed,
+                    bounce, intersect_fn, zf):
+    """Triangle-area-light NEE: one area-proportionally sampled point on
+    the scene's emissive-mesh triangles per lane.
+
+    Without this term, emissive meshes were BSDF-sampling-only — and in
+    scenes that ALSO have NEE sphere lights, their emission was gated off
+    after diffuse bounces entirely (the emit-only-on-specular rule
+    assumes NEE covers every emitter): lost light (round-2 verdict Weak
+    #6).  Estimator: triangle chosen by area CDF ((N, Lt) dense
+    compare-count, Lt <= 512 by a build-time cap), uniform barycentric
+    point, solid-angle-converted pdf; lights are two-sided.  Emission is
+    fetched live from materials.emission by the sampled triangle's
+    material id (one-hot MXU fetch, differentiable); the light GEOMETRY
+    is world-baked at build like the sphere list.
+    """
+    from tpupt.render.intersect import _rows_by_onehot
+    from tpupt.core.types import PRIM_NONE
+
+    u_sel = uniform(seed, bounce_counter(bounce, 12))
+    u1 = uniform(seed, bounce_counter(bounce, 13))
+    u2 = uniform(seed, bounce_counter(bounce, 14))
+
+    cum = scene.tri_light_cum  # (Lt,) normalized, last entry 1.0
+    lt = cum.shape[0]
+    # CDF inversion by dense compare-count (fuses; no per-lane gathers)
+    idx = jnp.minimum(
+        jnp.sum((u_sel[:, None] >= cum[None, :]).astype(jnp.int32), axis=1),
+        lt - 1,
+    )
+    rows = _rows_by_onehot(scene.tri_light_pack, idx)  # (11, N)
+    p0 = Vec3(rows[0], rows[1], rows[2])
+    e1 = Vec3(rows[3], rows[4], rows[5])
+    e2 = Vec3(rows[6], rows[7], rows[8])
+    lobj = rows[9].astype(jnp.int32)  # exact small ints in f32
+    lmat = rows[10].astype(jnp.int32)
+
+    # uniform point on the triangle
+    su = jnp.sqrt(u1)
+    b1, b2 = 1.0 - su, u2 * su
+    x = p0 + e1 * b1 + e2 * b2
+    d = x - p
+    dist2 = jnp.maximum(d.dot(d), 1e-12)
+    dist = jnp.sqrt(dist2)
+    direction = d * (1.0 / dist)
+    nlv = e1.cross(e2)
+    inv_len = jax.lax.rsqrt(jnp.maximum(nlv.dot(nlv), 1e-30))
+    cos_l = jnp.abs(direction.dot(nlv)) * inv_len  # two-sided emitter
+    valid = diffuse & (cos_l > 1e-6)
+
+    # occlusion inside (t_min, slightly-short-of-the-light): the sampled
+    # triangle itself sits at t = dist and must not self-occlude
+    t_limit = dist * jnp.float32(1.0 - 1e-3)
+    if intersect_fn is intersect_scene_ids:
+        occ = occlusion_anyhit(
+            scene, p, direction, zf + jnp.float32(1e-4), t_limit, valid,
+            -1,  # static: no sphere object is the light
+        )
+    else:
+        ids2, _ = intersect_fn(
+            scene, p, direction, zf + jnp.float32(1e-4), valid
+        )
+        occ = (ids2.kind != PRIM_NONE) & (ids2.t <= t_limit)
+    lit = checkpoint_name(valid & ~occ, "hit_ids")
+
+    # multiply-form solid-angle weight: cos_p/pi * cos_l * A_total / dist^2
+    # (no division by the near-zero cos_l the pdf form would need)
+    cos_p = jnp.maximum(n.dot(direction), 0.0)
+    scale = cos_p * INV_PI * cos_l * scene.tri_light_area / dist2
+    erows = _rows_by_onehot(scene.materials.emission, lmat)  # (3, N), diff
+    emit = Vec3(erows[0], erows[1], erows[2])
     contrib = throughput * albedo * scale * emit
     zero3 = Vec3(zf, zf, zf)
     return vec.where(lit, contrib, zero3)
@@ -346,7 +433,7 @@ def _bounce_body(
     new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
         scene, hit, state["ro"], state["rd"], state["t_min"], state["color"], seed, bounce
     )
-    has_nee = len(scene.s_light_objs) > 0
+    has_nee = len(scene.s_light_objs) > 0 or scene.s_tri_light_count > 0
     # emissive surfaces add (throughput x emission) and absorb the path;
     # with NEE active, diffuse-sampled rays skip it (the light sample at
     # the previous bounce already counted this light)

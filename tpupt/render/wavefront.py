@@ -105,7 +105,9 @@ def trace_sample_wavefront(
         new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
             scene, hit, st["ro"], st["rd"], st["t_min"], st["color"], seed, b
         )
-        has_nee = len(scene.s_light_objs) > 0
+        has_nee = (
+            len(scene.s_light_objs) > 0 or scene.s_tri_light_count > 0
+        )
         emit_gate = hit_alive & (st["spec"] if has_nee else True)
         radiance = vec.where(emit_gate, radiance + st["color"] * emitted, radiance)
         if has_nee:

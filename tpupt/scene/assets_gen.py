@@ -48,11 +48,25 @@ def _gen_knot():
     return procedural.torus_knot(radius=0.9, tube=0.16)
 
 
+def _gen_quad():
+    """Unit quad in the XZ plane centered at the origin (2 triangles) —
+    the canonical area-light panel for cornell_area.json."""
+    import numpy as np
+
+    v = np.array(
+        [[-0.5, 0.0, -0.5], [0.5, 0.0, -0.5], [0.5, 0.0, 0.5],
+         [-0.5, 0.0, 0.5]], np.float32,
+    )
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return v, f
+
+
 _GENERATORS = {
     "bunny.obj": _gen_bunny,
     "ajax.obj": _gen_ajax,
     "blob.obj": _gen_blob,
     "knot.obj": _gen_knot,
+    "quad.obj": _gen_quad,
 }
 
 

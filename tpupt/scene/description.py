@@ -265,6 +265,49 @@ class SceneDescription:
         if not light_objs:
             l_centers, l_radii = [np.zeros(3)], [0.0]
 
+        # Triangle-area lights: world-baked triangles of emissive MESH
+        # instances for NEE sampling (packed [p0, e1, e2, obj, mat] rows
+        # + an area CDF; emission stays live in materials.emission).
+        TRI_LIGHT_MAX = 512  # (N, Lt) selection + one-hot fetch bound
+        tl_rows, tl_areas = [], []
+        for o, (kind, key, transform, material) in enumerate(self._objects):
+            if kind != "mesh" or material not in mat_index:
+                continue
+            mtype, p = self._materials[material]
+            if mtype != "diffuse_light":
+                continue
+            md = self._meshes[key]
+            m = np.asarray(transform, np.float64)
+            wp = md.positions @ m[:3, :3].T + m[:3, 3]
+            v = wp[md.tris]  # (T, 3, 3) world-space
+            p0 = v[:, 0]
+            e1 = v[:, 1] - v[:, 0]
+            e2 = v[:, 2] - v[:, 0]
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+            objc = np.full((len(p0), 1), float(o))
+            matc = np.full((len(p0), 1), float(mat_index[material]))
+            tl_rows.append(np.concatenate([p0, e1, e2, objc, matc], axis=1))
+            tl_areas.append(area)
+        if tl_rows:
+            tl_pack = np.concatenate(tl_rows).astype(np.float32)
+            tl_area = np.concatenate(tl_areas).astype(np.float64)
+            n_tl = int(tl_pack.shape[0])
+            if n_tl > TRI_LIGHT_MAX:
+                raise ValueError(
+                    f"{n_tl} emissive-mesh light triangles exceed the "
+                    f"supported cap of {TRI_LIGHT_MAX} (the NEE sampler "
+                    "does a dense per-lane CDF selection + one-hot fetch "
+                    "over the light-triangle table)"
+                )
+            tl_total = float(tl_area.sum())
+            tl_cum = (np.cumsum(tl_area) / max(tl_total, 1e-30)).astype(
+                np.float32
+            )
+        else:
+            tl_pack = np.zeros((1, 11), np.float32)
+            tl_cum = np.ones((1,), np.float32)
+            tl_total, n_tl = 0.0, 0
+
         # world-space treelet table over all mesh instances
         mesh_data = [
             (self._meshes[name].positions, self._meshes[name].tris)
@@ -313,6 +356,9 @@ class SceneDescription:
             bg_up=f32(self.bg_up),
             nee_center=f32(l_centers),
             nee_radius=f32(l_radii),
+            tri_light_pack=f32(tl_pack),
+            tri_light_cum=f32(tl_cum),
+            tri_light_area=f32(tl_total),
             s_obj_kind=tuple(obj_kind),
             s_obj_prim=tuple(obj_prim),
             s_mesh_root=tuple(mesh_roots) if mesh_roots else (0,),
@@ -320,4 +366,5 @@ class SceneDescription:
             s_leaf_size=leaf_size,
             s_light_objs=tuple(light_objs),
             s_light_mats=tuple(light_mats),
+            s_tri_light_count=n_tl,
         )
