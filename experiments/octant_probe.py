@@ -74,7 +74,7 @@ def main():
         active = jnp.ones((n,), bool)
         ids, fwd = intersect_scene_ids(scene, ro, rd, t_min, active)
         seed = pixel_seed(jnp.arange(n, dtype=jnp.uint32), 0)
-        nro, nrd, nt, _c, _e, _a, _s = shade(
+        nro, nrd, nt, _c, _e, _a, _s, _p = shade(
             scene, fwd, ro, rd, t_min,
             Vec3(jnp.ones(n), jnp.ones(n), jnp.ones(n)), seed, 1,
         )

@@ -335,3 +335,35 @@ def test_mesh_light_emission_gradients():
     eps = 1e-2
     fd = (loss(e0.at[1, 0].add(eps)) - loss(e0.at[1, 0].add(-eps))) / (2 * eps)
     np.testing.assert_allclose(float(g[1, 0]), float(fd), rtol=1e-3)
+
+
+def test_mis_unbiased_near_big_light():
+    """MIS balance-heuristic weighting: with a BIG CLOSE panel (the
+    NEE-only firefly regime — tiny dist² blows up the light-sample
+    weight, while BSDF sampling hits the panel constantly), the weighted
+    two-technique estimator must still match brute path tracing in
+    expectation.  A wrong weight pair (e.g. a missing selection factor or
+    mismatched pdf formulas between the NEE term and
+    _light_pdf_at_hit) shows up as a systematic mean shift here."""
+    d = SceneDescription(bg_down=(0, 0, 0), bg_up=(0, 0, 0))
+    d.add_material("floor", "lambertian", albedo=(0.7, 0.7, 0.7))
+    d.add_material("panel", "diffuse_light", emit=(3.0, 3.0, 3.0))
+    d.add_sphere(100.0, np.asarray(m3.mat_translate([0, -100.5, -1])), "floor")
+    quad_v = np.array(
+        [[-2.0, 0.35, 1.0], [2.0, 0.35, 1.0], [2.0, 0.35, -3.0],
+         [-2.0, 0.35, -3.0]], np.float32,
+    )  # huge panel hovering just above the floor
+    quad_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    d.add_mesh("panel", quad_v, quad_f)
+    d.add_mesh_object("panel", np.eye(4), "panel")
+    scene = d.build()
+    cam = make_camera(position=(0, 0.1, 2.5), vfov=np.pi / 2)
+    W = H = 16
+    spp = 96
+    buf, _ = render_image(scene, cam, W, H, spp, max_bounces=8)
+    img_mis = np.asarray(buf.color).reshape(H, W, 3)
+    off = scene.replace(s_tri_light_count=0)
+    buf2, _ = render_image(off, cam, W, H, spp, max_bounces=8)
+    img_bsdf = np.asarray(buf2.color).reshape(H, W, 3)
+    assert img_mis.mean() > 0.05
+    assert abs(img_mis.mean() / img_bsdf.mean() - 1.0) < 0.08

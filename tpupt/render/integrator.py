@@ -110,9 +110,12 @@ def _fresh_state(scene, camera, width, height, pix, iteration):
         radiance=zero3,
         color=Vec3(ones, ones, ones),
         alive=zf == 0.0,
-        # last scatter was specular/primary: emissive hits add their
-        # radiance only then (diffuse bounces get it via the NEE sample)
+        # last scatter was specular/primary: emissive hits take full
+        # weight then (NEE cannot sample delta lobes); diffuse-sampled
+        # emissive hits are MIS-weighted by pdf_w vs the light pdf
         spec=zf == 0.0,
+        # solid-angle pdf of the last sampled direction (0 = delta)
+        pdf_w=zf,
         normal=-rd,
         depth=zf + jnp.float32(1e6),
     )
@@ -145,6 +148,74 @@ def _light_emission(scene, li: int, zf):
     mli = scene.s_light_mats[li]
     e = scene.materials.emission
     return Vec3(e[mli, 0] + zf, e[mli, 1] + zf, e[mli, 2] + zf)
+
+
+_TWO_PI = 6.283185307179586
+
+
+def _light_pdf_at_hit(scene, obj_id, kind, hit, ro, rd, absorb):
+    """Solid-angle pdf with which NEE would have sampled THIS emissive
+    hit point from the ray origin ``ro`` — the light-side density in the
+    balance-heuristic weight for BSDF-sampled emissive hits.  0 where the
+    hit is not an NEE-sampleable light (e.g. the origin sits inside a
+    light sphere), which makes the weight collapse to 1.
+
+    Must mirror the sampling densities the NEE terms divide by exactly:
+    sphere lights: uniform-cone pdf 1/(2π(1−cos_max)) (× the 1/n_lights
+    selection factor in sampled-single-light mode); emissive-mesh
+    triangles: dist²/(cos_l · A_total), area selection already folded
+    into A_total."""
+    from tpupt.core.types import PRIM_SPHERE, PRIM_TRIANGLE
+
+    zf = hit.t * 0.0
+    pl = zf
+    nl = len(scene.s_light_objs)
+    sel = jnp.float32(1.0 / nl) if nl > NEE_UNROLL_MAX else jnp.float32(1.0)
+    for li, lo in enumerate(scene.s_light_objs):
+        c = Vec3(
+            scene.nee_center[li, 0] + zf,
+            scene.nee_center[li, 1] + zf,
+            scene.nee_center[li, 2] + zf,
+        )
+        r = scene.nee_radius[li]
+        oc = ro - c
+        d2 = oc.dot(oc)
+        outside = d2 > r * r
+        sin2 = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+        pdf = sel / jnp.maximum(_TWO_PI * (1.0 - cos_max), 1e-12)
+        take = (obj_id == lo) & (kind == PRIM_SPHERE) & outside
+        pl = jnp.where(take, pdf, pl)
+    if scene.s_tri_light_count > 0:
+        # emissive triangle: hit.normal is the unit normal facing against
+        # the (unit, diffuse-sampled) ray, so cos_l = -(rd · n) >= 0
+        cos_l = jnp.maximum(-rd.dot(hit.normal), 1e-6)
+        p_tri = hit.t * hit.t / (
+            cos_l * jnp.maximum(scene.tri_light_area, 1e-30)
+        )
+        take = absorb & (kind == PRIM_TRIANGLE)
+        pl = jnp.where(take, p_tri, pl)
+    return pl
+
+
+def _weighted_emission(scene, radiance, state, ids, hit, emitted, absorb,
+                       hit_alive, has_nee):
+    """Add the hit surface's emission with its MIS weight: 1 for
+    specular/primary predecessors (NEE can't sample delta lobes) and the
+    balance heuristic pdf_bsdf/(pdf_bsdf + pdf_light) after a diffuse
+    scatter (the NEE terms carry the complementary weight)."""
+    if not has_nee:
+        return vec.where(
+            hit_alive, radiance + state["color"] * emitted, radiance
+        )
+    pl = _light_pdf_at_hit(
+        scene, ids.obj_id, ids.kind, hit, state["ro"], state["rd"], absorb
+    )
+    pb = state["pdf_w"]
+    w = jnp.where(state["spec"], 1.0, pb / jnp.maximum(pb + pl, 1e-20))
+    return vec.where(
+        hit_alive & absorb, radiance + state["color"] * emitted * w, radiance
+    )
 
 
 def _shadow_lit(scene, p, direction, center, radius, shadow_active,
@@ -233,8 +304,11 @@ def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive)
             intersect_fn, zf,
         )
         cos_p = jnp.maximum(n.dot(direction), 0.0)
-        # cosine-weighted lambertian: f = albedo/pi
-        scale = cos_p * INV_PI / pdf
+        # cosine-weighted lambertian f = albedo/pi; MIS balance heuristic
+        # folds in as f·w/pdf = f/(pdf_light + pdf_bsdf) — the BSDF side
+        # carries the complement (_weighted_emission)
+        p_b = cos_p * INV_PI
+        scale = p_b / (pdf + p_b)
         contrib = throughput * albedo * scale
         emit = _light_emission(scene, li, zf)
         total = vec.where(lit, total + contrib * emit, total)
@@ -280,7 +354,10 @@ def _nee_sampled_light(scene, p, n, diffuse, albedo, throughput, seed,
         intersect_fn, zf,
     )
     cos_p = jnp.maximum(n.dot(direction), 0.0)
-    scale = cos_p * INV_PI / pdf * jnp.float32(nl)
+    # technique pdf = pdf_cone/nl (uniform light selection); MIS balance
+    # vs the diffuse BSDF pdf: f·w/pdf_tech = f/(pdf_tech + pdf_bsdf)
+    p_b = cos_p * INV_PI
+    scale = p_b * jnp.float32(nl) / (pdf + jnp.float32(nl) * p_b)
     contrib = throughput * albedo * scale * emit
     zero3 = Vec3(zf, zf, zf)
     return vec.where(lit, contrib, zero3)
@@ -351,10 +428,14 @@ def _nee_mesh_light(scene, p, n, diffuse, albedo, throughput, seed,
         occ = (ids2.kind != PRIM_NONE) & (ids2.t <= t_limit)
     lit = checkpoint_name(valid & ~occ, "hit_ids")
 
-    # multiply-form solid-angle weight: cos_p/pi * cos_l * A_total / dist^2
-    # (no division by the near-zero cos_l the pdf form would need)
+    # multiply-form solid-angle weight with the MIS balance heuristic:
+    # f·w/pdf_tech = f/(pdf_tech + pdf_bsdf) with pdf_tech =
+    # dist²/(cos_l·A); multiplying through by cos_l·A avoids dividing by
+    # the near-zero cos_l of grazing lights
     cos_p = jnp.maximum(n.dot(direction), 0.0)
-    scale = cos_p * INV_PI * cos_l * scene.tri_light_area / dist2
+    p_b = cos_p * INV_PI
+    cla = cos_l * scene.tri_light_area
+    scale = p_b * cla / (dist2 + p_b * cla)
     erows = _rows_by_onehot(scene.materials.emission, lmat)  # (3, N), diff
     emit = Vec3(erows[0], erows[1], erows[2])
     contrib = throughput * albedo * scale * emit
@@ -430,15 +511,20 @@ def _bounce_body(
     normal = vec.where(first & hit.mask, hit.normal, state["normal"])
     depth = jnp.where(first & hit.mask, hit.t, state["depth"])
 
-    new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
+    new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular, new_pdf = shade(
         scene, hit, state["ro"], state["rd"], state["t_min"], state["color"], seed, bounce
     )
     has_nee = len(scene.s_light_objs) > 0 or scene.s_tri_light_count > 0
-    # emissive surfaces add (throughput x emission) and absorb the path;
-    # with NEE active, diffuse-sampled rays skip it (the light sample at
-    # the previous bounce already counted this light)
-    emit_gate = hit_alive & (state["spec"] if has_nee else True)
-    radiance = vec.where(emit_gate, radiance + state["color"] * emitted, radiance)
+    # emissive surfaces add (throughput x emission) and absorb the path.
+    # With NEE active, both estimator sides are MIS-weighted with the
+    # balance heuristic (_weighted_emission / the NEE terms): a
+    # diffuse-sampled emissive hit gets pdf_bsdf/(pdf_bsdf + pdf_light)
+    # instead of being dropped — unbiased either way, but MIS kills the
+    # 1/dist² fireflies NEE-only suffers near lights, and BSDF-only
+    # variance for small lights.
+    radiance = _weighted_emission(
+        scene, radiance, state, ids, hit, emitted, absorb, hit_alive, has_nee
+    )
     if has_nee:
         radiance = radiance + _nee_direct_light(
             scene, hit, state["color"], seed, bounce, intersect_fn, alive
@@ -451,6 +537,7 @@ def _bounce_body(
         color=vec.where(hit_alive, new_color, state["color"]),
         alive=hit_alive & ~absorb,
         spec=jnp.where(hit_alive, specular, state["spec"]),
+        pdf_w=jnp.where(hit_alive, new_pdf, state["pdf_w"]),
         normal=normal,
         depth=depth,
         rays=rays,

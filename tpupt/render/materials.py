@@ -38,6 +38,8 @@ from tpupt.core.types import (
 from tpupt.sampling.rng import bounce_counter, uniform
 from tpupt.sampling.sphere import random_in_unit_sphere
 
+INV_PI = 0.3183098861837907
+
 
 def _material_rows(scene: SceneArrays, mat_id: jnp.ndarray):
     """All material fields for every lane via ONE one-hot matmul.
@@ -98,11 +100,15 @@ def shade(
     bounce,
 ):
     """One scatter event for every lane.  Returns
-    (new_ro, new_rd, new_t_min, new_throughput, emitted, terminate):
-    ``emitted`` is the radiance the hit surface emits toward the path
-    (zero except for MAT_EMISSIVE), ``terminate`` marks lanes whose
-    material absorbs the path (emissive lights don't scatter).  Callers
-    mask by hit.mask; lanes that missed get garbage here (cheap, ignored).
+    (new_ro, new_rd, new_t_min, new_throughput, emitted, terminate,
+    specular, pdf_w): ``emitted`` is the radiance the hit surface emits
+    toward the path (zero except for MAT_EMISSIVE), ``terminate`` marks
+    lanes whose material absorbs the path (emissive lights don't
+    scatter), ``pdf_w`` is the solid-angle pdf of the sampled direction
+    for SOLID-ANGLE-SAMPLEABLE lobes (diffuse: cos/pi; specular lobes: 0
+    — delta distributions) — the BSDF-side density MIS weighs emissive
+    hits with (integrator._bounce_body).  Callers mask by hit.mask;
+    lanes that missed get garbage here (cheap, ignored).
     """
     mtype, albedo, fuzz, ior, emitted_all = _material_rows(scene, hit.mat_id)
     n = hit.normal
@@ -154,10 +160,17 @@ def shade(
 
     zero3 = Vec3(jnp.zeros_like(fuzz), jnp.zeros_like(fuzz), jnp.zeros_like(fuzz))
     emitted = vec.where(is_emis, emitted_all, zero3)
-    # `specular` feeds NEE double-count suppression: emission seen through
-    # a diffuse-sampled ray is already accounted for by the light sample
+    # `specular` marks delta lobes: their emissive hits take full weight
+    # (NEE cannot sample them); diffuse-sampled emissive hits are
+    # MIS-weighted against the light-sampling pdf instead
     specular = is_metal | is_diel
-    return new_ro, new_rd, new_t_min, new_throughput, emitted, is_emis, specular
+    # cosine-weighted diffuse pdf of the RETURNED direction (d_diff is
+    # unit); 0 for delta lobes
+    pdf_w = jnp.where(
+        is_diff, jnp.maximum(d_diff.dot(n), 0.0) * jnp.float32(INV_PI), 0.0
+    )
+    return (new_ro, new_rd, new_t_min, new_throughput, emitted, is_emis,
+            specular, pdf_w)
 
 
 def sample_light_sphere(center: Vec3, radius, p: Vec3, u1, u2):

@@ -71,6 +71,7 @@ def trace_sample_wavefront(
         color=Vec3.full((n,), 1.0, 1.0, 1.0),
         alive=jnp.ones((n,), bool),
         spec=jnp.ones((n,), bool),
+        pdf_w=jnp.zeros((n,), jnp.float32),
         normal=-rd,
         depth=jnp.full((n,), jnp.float32(1e6)),
     )
@@ -102,17 +103,22 @@ def trace_sample_wavefront(
         normal = vec.where(first & hit.mask, hit.normal, st["normal"])
         depth = jnp.where(first & hit.mask, hit.t, st["depth"])
 
-        new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular = shade(
+        new_ro, new_rd, new_t_min, new_color, emitted, absorb, specular, new_pdf = shade(
             scene, hit, st["ro"], st["rd"], st["t_min"], st["color"], seed, b
         )
         has_nee = (
             len(scene.s_light_objs) > 0 or scene.s_tri_light_count > 0
         )
-        emit_gate = hit_alive & (st["spec"] if has_nee else True)
-        radiance = vec.where(emit_gate, radiance + st["color"] * emitted, radiance)
-        if has_nee:
-            from tpupt.render.integrator import _nee_direct_light
+        from tpupt.render.integrator import (
+            _nee_direct_light,
+            _weighted_emission,
+        )
 
+        radiance = _weighted_emission(
+            scene, radiance, st, ids, hit, emitted, absorb, hit_alive,
+            has_nee,
+        )
+        if has_nee:
             radiance = radiance + _nee_direct_light(
                 scene, hit, st["color"], seed, b, intersect_fn, active
             )
@@ -125,6 +131,7 @@ def trace_sample_wavefront(
             color=vec.where(hit_alive, new_color, st["color"]),
             alive=hit_alive & ~absorb,
             spec=jnp.where(hit_alive, specular, st["spec"]),
+            pdf_w=jnp.where(hit_alive, new_pdf, st["pdf_w"]),
             normal=normal,
             depth=depth,
         )
