@@ -160,3 +160,35 @@ def test_viewer_preview_resolution_while_moving(sphere_scene):
     assert not viewer.moving
     viewer.step_frame()
     assert tracer.iteration > 0  # full-res refinement resumed
+
+
+def test_motion_preview_fused_for_all_display_types(sphere_scene):
+    """EVERY display buffer type's motion preview is the one-dispatch
+    fused trace+tonemap (r3 verdict #10: normal/depth used to fall back
+    to the unfused restart->trace->display path).  Asserted structurally:
+    while moving, the preview tracer's accumulator never advances (the
+    unfused path called path_trace, which does), and each type returns a
+    correctly shaped uint8 frame matching the fused preview_frame."""
+    tracer = PathTracer(sphere_scene, (32, 32), max_bounces=2)
+    ctl = FirstPersonCameraController(vfov=np.pi / 2)
+    viewer = InteractiveViewer(tracer, ctl)
+    viewer.FRAME_BUDGET_S = 0.0
+
+    assert viewer.on_key("w")
+    assert viewer.moving
+    for key, dtype in (("x", "final"), ("c", "color"), ("n", "normal"),
+                       ("z", "depth")):
+        assert viewer.on_key(key)
+        assert viewer.display_type == dtype
+        viewer._note_motion()
+        img = viewer.step_frame()
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert viewer._preview.iteration == 0, (
+            f"{dtype} preview touched the accumulator (unfused path)"
+        )
+        pv = viewer._preview
+        direct = pv.preview_frame(
+            ctl.camera(), viewer.PREVIEW_MAX_BOUNCES, dtype
+        )
+        s = viewer.PREVIEW_SCALE
+        np.testing.assert_array_equal(img[::s, ::s], direct)

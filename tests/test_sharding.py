@@ -86,8 +86,10 @@ def test_sharded_grads_posthoc_mesh_scene(full_scene, camera, mesh):
     scene: regression for the hoisted-slot-table VMA crash — without the
     overlap pcast the hoisted replicated table's backward cotangent
     accumulator crossed the bounce scan unvarying -> varying and shard_map
-    rejected the program (round 3); the fix rebuilds the table per bounce
-    in this mode.  Grads must still match single-device."""
+    rejected the program (round 3); the fix pcasts the scene ONCE before
+    the scan in this mode (the rebaked slot table stays hoisted outside
+    the bounce loop — see integrator.trace_sample's VMA docstring).
+    Grads must still match single-device."""
     target = jnp.zeros((W * H, 3))
     loss_s, grads_s = render_loss_and_grads_sharded(
         full_scene, camera, target, W, H, 1, mesh, max_bounces=3,

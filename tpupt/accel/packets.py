@@ -75,12 +75,16 @@ FETCH_R_DIFF = 4
 
 # Winner-selection lowering: "variadic" = one lax.reduce with a 6..15-
 # channel tuple combiner; "minsum" = native min/compare/sum reduces only
-# (see _winner_minsum).  Same winner bit-for-bit incl. tie-breaking.
-# Measured (bunny 1024^2 spp16 fwd, v5e): variadic 28.1 Mrays/s, minsum
-# 18.2 — the separate native reduces force XLA to rematerialize or
-# recompute the (sz, R*L, p) MT producer per consumer; the tuple
-# combiner, though serial over the pair axis, reads it ONCE.  Kept as a
-# measured negative result (DESIGN.md round 3).
+# (see _winner_minsum).  Same winner on any UNIQUE-t minimum; on an
+# exact-t tie between triangles in two treelets fetched in the same
+# R-step they differ — minsum picks the lowest GLOBAL slot id, variadic
+# keeps the LEFTMOST pair in reverse-fetch order (= the later-visited
+# treelet, the repo's sequential-visit invariant).  minsum is dead code
+# either way: measured (bunny 1024^2 spp16 fwd, v5e) variadic 28.1
+# Mrays/s, minsum 18.2 — the separate native reduces force XLA to
+# rematerialize or recompute the (sz, R*L, p) MT producer per consumer;
+# the tuple combiner, though serial over the pair axis, reads it ONCE.
+# Kept as a measured negative result (DESIGN.md round 3).
 _WINNER_IMPL = "variadic"
 
 
@@ -450,7 +454,8 @@ def _dense_mt(scene, blocks, r, live_pairs, L):
     return ok, t
 
 
-def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=()):
+def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=(),
+                   exact_ties: bool | None = None):
     """Single-pass winner selection over the R*L pair axis of a pair-test
     tensor.
 
@@ -467,10 +472,18 @@ def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=()):
     reduce evaluation order is implementation-defined for non-commutative
     computations, so first-index tie-breaking on an EXACT-t tie relies on
     XLA keeping lower-index partials as the left operand (true for every
-    backend/version tested; the explicit `(t_b == t_a) & (j_b < j_a)` tie
-    term would cost ~4% of the sweep's VPU ops and is deliberately
-    omitted — exact-t ties between distinct triangles are measure-zero
-    for the well-conditioned meshes the bit-identity tests use).
+    backend/version tested; measured ~4% of the sweep's VPU ops to make
+    explicit).  ``exact_ties`` (default: TPUPT_DEBUG) adds the explicit
+    positional tie term — a pair-POSITION payload channel plus
+    `(t_b == t_a) & (pos_b < pos_a)` in the combiner — making the
+    combiner commutative and the keep-left fold correct BY CONSTRUCTION
+    under any evaluation order.  The tie key is the pair-axis position
+    (reverse-fetch order), NOT the global slot id: on a cross-treelet
+    same-step exact-t tie those differ, and position is what reproduces
+    sequential later-visit-wins semantics (_next_treelets_r).
+    tests/test_tie_breaking.py arbitrates ON == OFF on an adversarial
+    shared-edge ray grid; if OFF ever diverges on a new backend, flip
+    the default and eat the 4%.
 
     ``extra_comps`` appends further block component payloads (the
     differentiable path rides the winner's p0/e1/e2 out of the sweep this
@@ -481,6 +494,10 @@ def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=()):
     """
     if _WINNER_IMPL == "minsum":
         return _winner_minsum(t_masked, blocks, L, slot_pairs, extra_comps)
+    if exact_ties is None:
+        from tpupt.utils import debug
+
+        exact_ties = debug.enabled()
     shape = t_masked.shape
     jb = jnp.broadcast_to(slot_pairs[:, :, None], shape)
 
@@ -499,6 +516,20 @@ def _winner_reduce(t_masked, blocks, L, slot_pairs, extra_comps=()):
         jnp.float32(-1.0),
     ) + tuple(jnp.float32(0.0) for _ in extra_comps)
 
+    if exact_ties:
+        pos = jnp.broadcast_to(
+            jnp.arange(shape[1], dtype=jnp.int32)[None, :, None], shape
+        )
+        operands = (operands[0], pos) + operands[1:]
+        inits = (inits[0], jnp.int32(2**31 - 1)) + inits[1:]
+
+        def comb(a, b):
+            take_b = (b[0] < a[0]) | ((b[0] == a[0]) & (b[1] < a[1]))
+            return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
+
+        out = lax.reduce(operands, inits, comb, dimensions=(1,))
+        return out[:1] + out[2:]  # drop the position channel
+
     def comb(a, b):
         # Strict `<` keeps the LEFT element on ties at every tree level
         # (see the docstring's tie-breaking caveat); no explicit
@@ -513,12 +544,22 @@ def _winner_minsum(t_masked, blocks, L, slot_pairs, extra_comps=()):
     """Winner selection via NATIVE single-channel reduces only.
 
     A variadic tuple reduce lowers to a sequential combiner over the pair
-    axis; native min/sum reduces vectorize.  Same winner, exactly:
+    axis; native min/sum reduces vectorize.  Same winner on any unique-t
+    minimum:
 
       1. t   = min over pairs of t_masked                (native min)
       2. slot = min over pairs of slot where t == t-min  (native min)
-         -> the LOWEST slot id among exact-t ties, identical to the
-         lexicographic (t, slot) combiner
+         -> the LOWEST GLOBAL slot id among exact-t ties.  NOTE this tie
+         rule differs from the production variadic path, which keeps the
+         leftmost pair in REVERSE-FETCH order (= the later-visited
+         treelet): on an exact-t tie between triangles in two treelets
+         fetched in the same R-step the two can disagree — and exact-t
+         cross-treelet ties are real (shared-edge hits), so flipping
+         _WINNER_IMPL to "minsum" would silently break the sequential
+         later-visit-wins invariant.  (Within ONE treelet the rules
+         coincide: reverse-fetch position and slot id are co-ordered.)
+         Dead code today; a positional tie key (reverse-fetch slot rank)
+         would be needed to make it exact.
       3. each metadata channel = sum over pairs of (slot_pair == slot) *
          value — exactly one pair matches, so the sum IS the selection
          (native add reduces; all share the MT producer in one fusion)
@@ -559,6 +600,7 @@ def intersect_treelets(
     t_seed: jnp.ndarray,  # (N,) current best t (e.g. from the sphere pass)
     active: jnp.ndarray,  # (N,)
     diff_payload: bool = False,
+    exact_ties: bool | None = None,  # None -> TPUPT_DEBUG (see _winner_reduce)
 ):
     """Closest mesh hit for every ray.
 
@@ -621,7 +663,8 @@ def intersect_treelets(
             # reduce keeps the whole MT chain as the reduce's fused
             # producer; only (sz, p) outputs touch HBM.
             t_new, new_slot, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
-                t_masked, blocks, L, slot_pairs, extra_comps
+                t_masked, blocks, L, slot_pairs, extra_comps,
+                exact_ties=exact_ties,
             )
             got = t_new < BIG
 

@@ -104,6 +104,61 @@ def _cut_bvh(bvh: FlatBVH, max_tris: int) -> list[np.ndarray]:
     return treelets
 
 
+def _cut_bvh_sah(bvh: FlatBVH, max_tris: int) -> list[np.ndarray]:
+    """SAH-cost-driven treelet cut (VERDICT r3 #2's lever).
+
+    The production cut (_cut_bvh) takes the FIRST subtree with <= L
+    triangles top-down.  But a treelet visit costs P*L dense pairs
+    regardless of occupancy, and a random ray's expected visit count is
+    proportional to the summed surface area of the treelet boxes it can
+    hit — so the right objective is to MINIMIZE sum(SA(treelet)) subject
+    to <= L triangles per treelet.  Bottom-up DP over the flat pre-order
+    tree: best(v) = min(SA(v) if count(v) <= L else inf,
+    best(left) + best(right)); cut at v when SA(v) <= the split sum
+    (fewer treelets on ties — K inflates the cull table).
+    """
+    B = bvh.num_nodes
+    skip = bvh.node_skip
+
+    def subtree_end(i: int) -> int:
+        s = skip[i]
+        return B if s < 0 else int(s)
+
+    ext = (bvh.node_max - bvh.node_min).astype(np.float64)
+    sa = 2.0 * (
+        ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2]
+    )
+    best = np.zeros(B)
+    cut = np.zeros(B, bool)
+    counts = np.zeros(B, np.int64)
+    for i in range(B - 1, -1, -1):
+        if bvh.node_tri[i] >= 0:
+            best[i], cut[i], counts[i] = sa[i], True, 1
+        else:
+            l = i + 1
+            r = subtree_end(l)
+            counts[i] = counts[l] + counts[r]
+            split = best[l] + best[r]
+            if counts[i] <= max_tris and sa[i] <= split:
+                best[i], cut[i] = sa[i], True
+            else:
+                best[i], cut[i] = split, False
+
+    treelets = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if cut[i]:
+            tris = bvh.node_tri[i:subtree_end(i)]
+            treelets.append(tris[tris >= 0].astype(np.int64))
+        else:
+            l = i + 1
+            r = subtree_end(l)
+            stack.append(r)
+            stack.append(l)  # left first: preserves front-split order
+    return treelets
+
+
 def build_treelets(
     meshes: list[tuple[np.ndarray, np.ndarray]],  # per mesh: (positions, tris)
     instances: list[tuple[int, np.ndarray, int]],  # (mesh_id, 4x4 world matrix, obj_id)

@@ -90,8 +90,18 @@ def main(argv=None) -> int:
     import jax
 
     # persistent compile cache: through the TPU relay a cold compile of
-    # the chained render loop takes minutes; re-runs must not pay it
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_cli")
+    # the chained render loop takes minutes; re-runs must not pay it.
+    # Respect an existing user configuration (env var or jax.config) and
+    # default to a per-user path — a world-shared /tmp dir collides on
+    # ownership between users of a shared machine.
+    if (
+        not os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        and not jax.config.jax_compilation_cache_dir
+    ):
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "tpupt", "jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
     print(f"devices: {jax.devices()}")
     print(f"Scene: {scene_path}")
     print(f"Resolution: {width}x{height}  spp: {desc.spp}  max bounces: {args.max_bounces}")

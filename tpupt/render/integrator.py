@@ -170,22 +170,56 @@ def _light_pdf_at_hit(scene, obj_id, kind, hit, ro, rd, absorb):
     zf = hit.t * 0.0
     pl = zf
     nl = len(scene.s_light_objs)
-    sel = jnp.float32(1.0 / nl) if nl > NEE_UNROLL_MAX else jnp.float32(1.0)
-    for li, lo in enumerate(scene.s_light_objs):
-        c = Vec3(
-            scene.nee_center[li, 0] + zf,
-            scene.nee_center[li, 1] + zf,
-            scene.nee_center[li, 2] + zf,
-        )
-        r = scene.nee_radius[li]
+    if nl > NEE_UNROLL_MAX:
+        # sampled-single-light mode: O(1) in light count, like the NEE
+        # sampling side (_nee_sampled_light).  ONE one-hot fetch of the
+        # hit light's (center, radius) keyed on obj_id replaces the
+        # statically unrolled per-light loop, which re-introduced the
+        # O(n_lights) compile/trace cost per bounce body (and per
+        # chain-ladder rung) that sampled NEE was added to remove
+        # (advisor r3 #3).
+        objs = jnp.asarray(scene.s_light_objs, jnp.int32)
+        onehot = (objs[:, None] == obj_id[None, :]).astype(jnp.float32)
+        table = jnp.concatenate(
+            [scene.nee_center, scene.nee_radius[:, None]], axis=1
+        )  # (nl, 4)
+        rows = lax.dot_general(
+            table.T, onehot, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (4, N) — lanes minor, exact fetch (HIGHEST: bf16 decomposition
+        # perturbs values — DESIGN.md one-hot fetch rule)
+        c = Vec3(rows[0] + zf, rows[1] + zf, rows[2] + zf)
+        r = rows[3]
+        is_light = jnp.max(onehot, axis=0) > 0.5
         oc = ro - c
         d2 = oc.dot(oc)
         outside = d2 > r * r
         sin2 = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
         cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
-        pdf = sel / jnp.maximum(_TWO_PI * (1.0 - cos_max), 1e-12)
-        take = (obj_id == lo) & (kind == PRIM_SPHERE) & outside
+        pdf = jnp.float32(1.0 / nl) / jnp.maximum(
+            _TWO_PI * (1.0 - cos_max), 1e-12
+        )
+        take = is_light & (kind == PRIM_SPHERE) & outside
         pl = jnp.where(take, pdf, pl)
+    else:
+        for li, lo in enumerate(scene.s_light_objs):
+            c = Vec3(
+                scene.nee_center[li, 0] + zf,
+                scene.nee_center[li, 1] + zf,
+                scene.nee_center[li, 2] + zf,
+            )
+            r = scene.nee_radius[li]
+            oc = ro - c
+            d2 = oc.dot(oc)
+            outside = d2 > r * r
+            sin2 = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+            pdf = jnp.float32(1.0) / jnp.maximum(
+                _TWO_PI * (1.0 - cos_max), 1e-12
+            )
+            take = (obj_id == lo) & (kind == PRIM_SPHERE) & outside
+            pl = jnp.where(take, pdf, pl)
     if scene.s_tri_light_count > 0:
         # emissive triangle: hit.normal is the unit normal facing against
         # the (unit, diffuse-sampled) ray, so cos_l = -(rd · n) >= 0

@@ -115,27 +115,42 @@ class PathTracer:
         # path_trace -> display) pays 3-4 relay round-trips of scalar
         # readbacks and a float D2H — measured ~110 ms/frame at 256²
         # through the relay, ~4x the render itself.
-        @partial(checked_jit, static_argnums=(2, 3, 4))
-        def _preview_step(scene, camera, width, height, max_bounces):
-            color, _n, _d, _r = trace_sample(
+        @partial(checked_jit, static_argnums=(2, 3, 4, 5))
+        def _preview_step(scene, camera, width, height, max_bounces,
+                          display_type):
+            color, normal, depth, _r = trace_sample(
                 scene, camera, width, height, 0,
                 max_bounces=max_bounces,
                 rr_start=2 if self.rr_start is None else min(self.rr_start, 2),
             )
-            # reference preview_kernel semantics (utils/image.to_uint8):
-            # gamma 1/2.2, clamp * 255.99 — on device
-            c = jnp.power(jnp.maximum(color, 0.0), 1.0 / 2.2)
+            # reference preview kernel semantics (utils/image.to_uint8 /
+            # depth_to_uint8), computed ON DEVICE for every display type so
+            # normal/depth motion previews stay one-dispatch too (r3
+            # verdict #10: they used to fall back to the unfused
+            # restart->trace->display path, ~110 ms of relay round-trips):
+            # normals remap [-1,1]->[0,1]; depth shows gamma(1/depth).
+            if display_type == "normal":
+                src = normal * 0.5 + 0.5
+            elif display_type == "depth":
+                src = jnp.repeat(1.0 / depth[:, None], 3, axis=1)
+            else:  # "final"/"color" — one fresh sample, no accumulators
+                src = color
+            c = jnp.power(jnp.maximum(src, 0.0), 1.0 / 2.2)
             return (jnp.clip(c, 0.0, 1.0) * 255.99).astype(jnp.uint8)
 
         self._preview_step = _preview_step
 
-    def preview_frame(self, camera: Camera, max_bounces: int = 8) -> np.ndarray:
+    def preview_frame(self, camera: Camera, max_bounces: int = 8,
+                      display_type: str = "final") -> np.ndarray:
         """One-sample uint8 preview at this tracer's resolution in a
-        single device dispatch (motion preview for the interactive
-        viewer; does not touch the progressive accumulators)."""
+        single device dispatch — for any display buffer type (final/
+        color/normal/depth) — for the motion preview of the interactive
+        viewer; does not touch the progressive accumulators."""
+        if display_type not in ("final", "color", "normal", "depth"):
+            raise ValueError(f"unknown buffer type {display_type!r}")
         img = self._preview_step(
             self.scene, camera, self.width, self.height,
-            min(max_bounces, self.max_bounces),
+            min(max_bounces, self.max_bounces), display_type,
         )
         return np.asarray(img).reshape(self.height, self.width, 3)
 
