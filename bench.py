@@ -187,7 +187,7 @@ def main():
         # remaining BASELINE configs via the full harness
         from tpupt.bench.harness import run_config
 
-        for cfg in ("sphere", "cornell", "diff", "multimesh"):
+        for cfg in ("sphere", "cornell", "diff", "multimesh", "ajax"):
             try:
                 r = run_config(cfg, iters=2)
                 print(

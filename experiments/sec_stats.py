@@ -1,23 +1,31 @@
-"""Secondary-bounce sweep accounting (VERDICT r3 #2).
+"""Secondary-bounce sweep accounting (VERDICT r3 #2 and #5).
 
 Round 3 adjudicated sub-treelet culling and octant binning against
 PRIMARY-derived numbers (4.3 visits / 137 pairs per ray) while
 attributing the real cost to incoherent secondaries — without ever
-measuring them.  This script generates REAL bounce-1/2 ray sets from the
-production integrator (diffuse-bounced, pixel order — exactly what the
-chained loop feeds the sweep) and replays the exact sweep semantics
-(front-to-back per-packet selection, per-lane t-caps, packet early exit,
-ground-sphere t seed) host-side, reporting per ray set:
+measuring them.  This script generates REAL bounce-k ray sets from the
+production integrator (pixel order — exactly what the chained loop feeds
+the sweep) and replays the exact sweep semantics (front-to-back
+per-packet selection, per-lane t-caps, packet early exit, sphere-pass t
+seeds) host-side, reporting per ray set:
 
   * visits/ray and dense pairs/ray (the lockstep cost actually paid),
   * per-packet hit-list width (the treelet union the packet must sweep),
   * per-packet visit distribution (mean vs p90/max — lockstep waste).
 
-It then re-cuts the same BVHs with the SAH-cost-driven DP cut
-(treelets._cut_bvh_sah: minimize summed treelet surface area, <= L tris)
-and replays again — the adopt/reject number for the r3 #2 lever.
+--scene flagship additionally re-cuts the BVHs with the SAH-cost-driven
+DP cut (treelets._cut_bvh_sah) — the r3 #2 lever's adopt/reject number.
+--scene multimesh measures BASELINE config 5 (r3 #5: 10.5 vs 36.5
+Mrays/s with zero analysis).
 
-Usage: python experiments/sec_stats.py [--size 512] [--leaf 32]
+Measured 2026-08-20 (512², flagship): primaries 4.0 visits / 128
+pairs/ray (union width mean 6.3); bounce1 29.6 / 948 (width 57.7);
+bounce2 20.8 / 666 — secondaries pay 7.4x primaries, from union width,
+not visit inefficiency.  SAH DP cut: NEGATIVE (+12% pairs, K 460→920 —
+a packet visit costs P*L regardless of occupancy, so more, smaller
+treelets lose even at lower summed SA).
+
+Usage: python experiments/sec_stats.py [--size 512] [--scene flagship]
 """
 
 from __future__ import annotations
@@ -32,9 +40,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def _make_tables(cut_fn, leaf):
-    """World-baked treelet boxes + triangle blocks for the flagship
-    geometry under a given cut function."""
+def _make_tables_flagship(cut_fn, leaf):
+    """World-baked treelet boxes + triangle verts for the flagship
+    geometry under a given cut function (the dual-cut comparison path)."""
     import tpupt.core.math3d as m3
     from tpupt.accel.bvh import build_bvh
     from tpupt.scene.procedural import bunny_substitute
@@ -45,8 +53,7 @@ def _make_tables(cut_fn, leaf):
         np.asarray(m3.mat_scale(0.5), np.float64)
         @ np.asarray(m3.mat_translate([-2.0, -0.5, -4.0]), np.float64),
     ]
-    boxes, tris_w = [], []
-    occ = []
+    boxes, tris_w, occ = [], [], []
     for m in instances:
         wpos = (np.asarray(v, np.float64) @ m[:3, :3].T + m[:3, 3]).astype(
             np.float32
@@ -59,14 +66,51 @@ def _make_tables(cut_fn, leaf):
             occ.append(len(tri_ids))
     bmin = np.stack([b[0] for b in boxes])
     bmax = np.stack([b[1] for b in boxes])
-    occ = np.asarray(occ)
-    return bmin, bmax, tris_w, occ
+    return bmin, bmax, tris_w, np.asarray(occ)
 
 
-def _ray_sets(size):
-    """Primary + bounce-1 + bounce-2 ray sets from the REAL integrator
-    (CPU jax; pixel order; ground-sphere-seeded t caps are re-derived in
-    the replay)."""
+def _tables_from_scene(scene):
+    """Extract the production treelet tables from built scene arrays
+    (packed block comps 0..8 are world p0/e1/e2; pad slots have obj=-1)."""
+    L = scene.s_leaf_size
+    blocks = np.asarray(scene.tre_tris)  # (K, 13L)
+    K = blocks.shape[0]
+    tris_w, occ = [], []
+    for k in range(K):
+        b = blocks[k].reshape(13, L)
+        real = b[12] >= 0.0  # obj channel: -1 on pads
+        p0 = b[0:3, real].T
+        e1 = b[3:6, real].T
+        e2 = b[6:9, real].T
+        tris_w.append(np.stack([p0, p0 + e1, p0 + e2], axis=1))
+        occ.append(int(real.sum()))
+    return (
+        np.asarray(scene.tre_min), np.asarray(scene.tre_max),
+        tris_w, np.asarray(occ),
+    )
+
+
+def _scene_spheres(scene):
+    """(centers (S,3), radii (S,)) in world space for the t-seed replay
+    (translate-only transforms in the shipped scenes)."""
+    from tpupt.core.types import OBJ_SPHERE
+
+    cs, rs = [], []
+    sc = np.asarray(scene.sphere_center)
+    sr = np.asarray(scene.sphere_radius)
+    om = np.asarray(scene.obj_m)
+    for o, (kind, prim) in enumerate(zip(scene.s_obj_kind, scene.s_obj_prim)):
+        if kind == OBJ_SPHERE:
+            c = om[o][:3, :3] @ sc[prim] + om[o][:3, 3]
+            cs.append(c)
+            rs.append(sr[prim])
+    return (np.asarray(cs, np.float32).reshape(-1, 3),
+            np.asarray(rs, np.float32))
+
+
+def _ray_sets(scene, camera, size, bounces):
+    """Primary + bounce-k ray sets from the REAL integrator (CPU jax;
+    pixel order)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -77,9 +121,7 @@ def _ray_sets(size):
     from tpupt.render.intersect import intersect_scene_ids
     from tpupt.render.materials import shade
     from tpupt.sampling.rng import pixel_seed
-    import __graft_entry__ as ge
 
-    scene, camera = ge._flagship_scene(mesh_subdiv=4)
     W = H = size
     n = W * H
     pix = jnp.arange(n, dtype=jnp.uint32)
@@ -93,7 +135,7 @@ def _ray_sets(size):
     thr = Vec3(jnp.ones(n), jnp.ones(n), jnp.ones(n))
     seed = pixel_seed(pix, 0)
     cur_ro, cur_rd, cur_tmin, cur_act = ro, rd, t_min, act
-    for b in (1, 2):
+    for b in range(1, bounces + 1):
         ids, fwd = intersect_scene_ids(scene, cur_ro, cur_rd, cur_tmin, cur_act)
         out = shade(scene, fwd, cur_ro, cur_rd, cur_tmin, thr, seed, b)
         nro, nrd, nt = out[0], out[1], out[2]
@@ -112,19 +154,20 @@ def _ray_sets(size):
     return {k: to_np(v) for k, v in sets.items()}
 
 
-def _replay(bmin, bmax, tris_w, ro, rd, act, L, P, sample_packets, seed=0):
+def _replay(bmin, bmax, tris_w, spheres, ro, rd, act, L, P, sample_packets,
+            seed=0):
     """Host-side replay of the production sweep semantics; returns stats."""
     n = ro.shape[0]
     npk = n // P
     rng = np.random.default_rng(seed)
     sample = rng.permutation(npk)[: min(npk, sample_packets)]
+    scs, srs = spheres
 
     visits = 0
     pairs = 0
     widths = []
     per_packet_visits = []
     live_packets = 0
-    ground_c = np.array([0, -100.5, -1.0], np.float32)
 
     for pk in sample:
         o = ro[pk * P : (pk + 1) * P]
@@ -136,15 +179,16 @@ def _replay(bmin, bmax, tris_w, ro, rd, act, L, P, sample_packets, seed=0):
         with np.errstate(divide="ignore", invalid="ignore"):
             iv = 1.0 / d
             t = np.where(a, np.float32(3.0e38), np.float32(-3.0e38))
-            # ground-sphere seed (the sphere pass seeds the sweep's t caps)
-            oc = o - ground_c
-            b2 = np.sum(d * oc, axis=1)
-            aa = np.sum(d * d, axis=1)
-            c = np.sum(oc * oc, axis=1) - 100.0**2
-            disc = b2 * b2 - aa * c
-            hit = disc >= 0
-            tq = (-b2 - np.sqrt(np.maximum(disc, 0))) / np.maximum(aa, 1e-30)
-            t = np.where(a & hit & (tq > 1e-3), tq.astype(np.float32), t)
+            for c, r in zip(scs, srs):  # sphere-pass t seeds
+                oc = o - c
+                b2 = np.sum(d * oc, axis=1)
+                aa = np.sum(d * d, axis=1)
+                cc = np.sum(oc * oc, axis=1) - r * r
+                disc = b2 * b2 - aa * cc
+                hit = disc >= 0
+                tq = (-b2 - np.sqrt(np.maximum(disc, 0))) / np.maximum(aa, 1e-30)
+                t = np.where(a & hit & (tq > 1e-3) & (tq < t),
+                             tq.astype(np.float32), t)
 
             t0s = (bmin[None] - o[:, None]) * iv[:, None]
             t1s = (bmax[None] - o[:, None]) * iv[:, None]
@@ -167,6 +211,8 @@ def _replay(bmin, bmax, tris_w, ro, rd, act, L, P, sample_packets, seed=0):
             pv += 1
             pairs += P * L
             tv = tris_w[tid]
+            if len(tv) == 0:
+                continue
             p0 = tv[:, 0][None]
             e1 = (tv[:, 1] - tv[:, 0])[None]
             e2 = (tv[:, 2] - tv[:, 0])[None]
@@ -202,48 +248,71 @@ def _replay(bmin, bmax, tris_w, ro, rd, act, L, P, sample_packets, seed=0):
     )
 
 
+def _report(tag, bmin, bmax, tris_w, occ, spheres, sets, L, P, sample):
+    ext = bmax - bmin
+    sa = 2.0 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                + ext[:, 0] * ext[:, 2])
+    print(
+        f"\n[{tag}] K={len(occ)} treelets, occupancy mean "
+        f"{occ.mean():.1f}/{L}, sum SA {sa.sum():.3f}"
+    )
+    for name, (ro, rd, act) in sets.items():
+        st = _replay(bmin, bmax, tris_w, spheres, ro, rd, act, L, P, sample)
+        print(
+            f"  {name:8s}: visits/ray {st['visits_per_ray']:6.1f}  "
+            f"pairs/ray {st['pairs_per_ray']:6.0f}  "
+            f"width mean/p90/max {st['width_mean']:5.1f}/"
+            f"{st['width_p90']:5.1f}/{st['width_max']:4d}  "
+            f"packet visits mean/p90/max {st['visits_mean']:5.1f}/"
+            f"{st['visits_p90']:5.1f}/{st['visits_max']:4d}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--leaf", type=int, default=32)
     ap.add_argument("--packet", type=int, default=256)
-    ap.add_argument("--sample", type=int, default=512)
+    ap.add_argument("--sample", type=int, default=384)
+    ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--scene", default="flagship",
+                    choices=("flagship", "bunny", "multimesh"))
     args = ap.parse_args()
 
-    from tpupt.accel.treelets import _cut_bvh, _cut_bvh_sah
+    import jax
 
-    print("generating real ray sets (CPU jax)...")
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.scene == "flagship":
+        import __graft_entry__ as ge
+
+        scene, camera = ge._flagship_scene(mesh_subdiv=4)
+    else:
+        from tpupt.bench.harness import _scene_bunny, _scene_multimesh
+
+        scene, camera = (
+            _scene_bunny() if args.scene == "bunny" else _scene_multimesh()
+        )
+
+    print(f"generating real ray sets (CPU jax, {args.scene})...")
     t0 = time.time()
-    sets = _ray_sets(args.size)
+    sets = _ray_sets(scene, camera, args.size, args.bounces)
     print(f"  done in {time.time()-t0:.1f}s; "
           + ", ".join(f"{k}: {v[2].sum()} live" for k, v in sets.items()))
+    spheres = _scene_spheres(scene)
 
-    for cut_name, cut_fn in (("prod <=L cut", _cut_bvh), ("SAH DP cut", _cut_bvh_sah)):
-        bmin, bmax, tris_w, occ = _make_tables(cut_fn, args.leaf)
-        sa = (
-            2.0 * (
-                (bmax - bmin)[:, 0] * (bmax - bmin)[:, 1]
-                + (bmax - bmin)[:, 1] * (bmax - bmin)[:, 2]
-                + (bmax - bmin)[:, 0] * (bmax - bmin)[:, 2]
-            )
-        ).sum()
-        print(
-            f"\n[{cut_name}] K={len(occ)} treelets, occupancy mean "
-            f"{occ.mean():.1f}/{args.leaf}, sum SA {sa:.3f}"
-        )
-        for name, (ro, rd, act) in sets.items():
-            st = _replay(
-                bmin, bmax, tris_w, ro, rd, act, args.leaf, args.packet,
-                args.sample,
-            )
-            print(
-                f"  {name:8s}: visits/ray {st['visits_per_ray']:6.1f}  "
-                f"pairs/ray {st['pairs_per_ray']:6.0f}  "
-                f"width mean/p90/max {st['width_mean']:5.1f}/"
-                f"{st['width_p90']:5.1f}/{st['width_max']:4d}  "
-                f"packet visits mean/p90/max {st['visits_mean']:5.1f}/"
-                f"{st['visits_p90']:5.1f}/{st['visits_max']:4d}"
-            )
+    if args.scene == "flagship":
+        from tpupt.accel.treelets import _cut_bvh, _cut_bvh_sah
+
+        for cut_name, cut_fn in (("prod <=L cut", _cut_bvh),
+                                 ("SAH DP cut", _cut_bvh_sah)):
+            bmin, bmax, tris_w, occ = _make_tables_flagship(cut_fn, args.leaf)
+            _report(cut_name, bmin, bmax, tris_w, occ, spheres, sets,
+                    args.leaf, args.packet, args.sample)
+    else:
+        bmin, bmax, tris_w, occ = _tables_from_scene(scene)
+        _report(args.scene, bmin, bmax, tris_w, occ, spheres, sets,
+                scene.s_leaf_size, args.packet, args.sample)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ poison on TPU.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -46,7 +48,9 @@ _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
 # stepping until <= sz/DIV packets remain live — so lockstep waste is
 # bounded by DIV x optimal.  Measured on v5e, bunny 1024^2 spp=4:
 # DIV=8 4.09 Mrays/s, DIV=4 5.03, DIV=2 5.86 (MIN 8 vs 32: no change).
-_LADDER_DIV = 2
+# May be fractional (>1); TPUPT_LADDER_DIV overrides for sweeps
+# (experiments/sweep_ladder.py).
+_LADDER_DIV = float(os.environ.get("TPUPT_LADDER_DIV", "2"))
 _LADDER_MIN = 32  # smallest rung (packets)
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
@@ -95,7 +99,7 @@ def _ladder_sizes(np_: int) -> list[int]:
         sizes.append(sz)
         if sz <= _LADDER_MIN:
             break
-        sz = max(_LADDER_MIN, sz // _LADDER_DIV)
+        sz = max(_LADDER_MIN, int(sz / _LADDER_DIV))
     return sizes
 
 
@@ -120,7 +124,7 @@ def _run_ladder(full, make_step, live_of, max_steps):
     for li, sz in enumerate(sizes):
         sub = {k: v[:sz] for k, v in full.items()}
         is_last = li == len(sizes) - 1
-        threshold = 0 if is_last else sz // _LADDER_DIV
+        threshold = 0 if is_last else int(sz / _LADDER_DIV)
         step = make_step(sz)
 
         def cond(carry, threshold=threshold):

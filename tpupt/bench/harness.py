@@ -104,13 +104,27 @@ def _scene_multimesh():
     return desc.build(), desc.camera
 
 
+def _scene_ajax():
+    import os
+
+    from tpupt.scene.assets_gen import ensure_models, locate_asset_path
+    from tpupt.scene.json_parser import scene_from_json
+
+    ensure_models()
+    desc = scene_from_json(
+        os.path.join(locate_asset_path(), "scenes", "ajax-white.json")
+    )
+    return desc.build(), desc.camera
+
+
 def bench_forward(scene, camera, size, spp, max_bounces, iters, rr_start=None):
     import jax
 
     from tpupt.render.integrator import render_image
 
+    w, h = (size, size) if isinstance(size, int) else size
     fn = jax.jit(partial(
-        render_image, width=size, height=size, spp=spp,
+        render_image, width=w, height=h, spp=spp,
         max_bounces=max_bounces, rr_start=rr_start,
     ))
     rays, secs = _timed(fn, (scene, camera), iters)
@@ -181,6 +195,10 @@ CONFIGS = {
     # denoiser's cost; 1-spp render + differentiable denoise + mat grads)
     "diff": dict(scene=_scene_sphere, size=1024, spp=1, mb=4, rr=None),
     "multimesh": dict(scene=_scene_multimesh, size=1024, spp=16, mb=8, rr=4),
+    # reference-scale accelerator proof (r3 verdict #6): the ajax-white
+    # scene with the 81,920-tri generated bust at the reference's native
+    # 720x1280 portrait resolution (scene JSON sampler: 10 spp)
+    "ajax": dict(scene=_scene_ajax, size=(720, 1280), spp=10, mb=50, rr=8),
 }
 
 

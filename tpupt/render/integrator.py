@@ -24,6 +24,7 @@ progressive (n-1)/n accumulation — src/lib/path_tracer.cu:203-268).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -284,7 +285,7 @@ def _shadow_lit(scene, p, direction, center, radius, shadow_active,
         lit = shadow_active & (ids2.obj_id == lo)
     # saved residual: keeps the shadow-ray sweep out of the backward
     # recompute (see _bounce_body hit_ids note)
-    return checkpoint_name(lit, "hit_ids")
+    return _ckpt2d(lit)
 
 
 def _nee_direct_light(scene, hit, throughput, seed, bounce, intersect_fn, alive):
@@ -460,7 +461,7 @@ def _nee_mesh_light(scene, p, n, diffuse, albedo, throughput, seed,
             scene, p, direction, zf + jnp.float32(1e-4), valid
         )
         occ = (ids2.kind != PRIM_NONE) & (ids2.t <= t_limit)
-    lit = checkpoint_name(valid & ~occ, "hit_ids")
+    lit = _ckpt2d(valid & ~occ)
 
     # multiply-form solid-angle weight with the MIS balance heuristic:
     # f·w/pdf_tech = f/(pdf_tech + pdf_bsdf) with pdf_tech =
@@ -475,6 +476,24 @@ def _nee_mesh_light(scene, p, n, diffuse, albedo, throughput, seed,
     contrib = throughput * albedo * scale * emit
     zero3 = Vec3(zf, zf, zf)
     return vec.where(lit, contrib, zero3)
+
+
+def _ckpt2d(x):
+    """checkpoint_name("hit_ids") through a (N/128, 128) 2D view.
+
+    The scan stacks saved residuals into (T, ...) buffers whose last two
+    dims carry the (8, 128) tile; saving 1D (N,) rows makes every
+    per-step write a partial-tile update that XLA turns into ~25x the
+    row's bytes of traffic (~116 ms of the 928 ms fwd+bwd step).  A 2D
+    (N/128, 128) view makes the per-step write whole tiles — measured
+    1.6x faster stacking at production shapes (experiments/prof_saves.py
+    plain/remat vs plain2d/remat2d).  The reshape is free (bitcast) on
+    both save and reload."""
+    if hasattr(x, "ndim") and x.ndim == 1 and x.shape[0] % 128 == 0:
+        return checkpoint_name(x.reshape(-1, 128), "hit_ids").reshape(
+            x.shape
+        )
+    return checkpoint_name(x, "hit_ids")
 
 
 def _bounce_body(
@@ -503,7 +522,7 @@ def _bounce_body(
             scene, state["ro"], state["rd"], state["t_min"], alive
         )
         ids, tri_vals = jax.tree_util.tree_map(
-            lambda x: checkpoint_name(x, "hit_ids"), (ids, tri_vals)
+            _ckpt2d, (ids, tri_vals)
         )
         if tri_vals is not None and tri_table is not None:
             # hoisted differentiable slot table (built once per render,
@@ -525,7 +544,7 @@ def _bounce_body(
             # is pure discrete selection under stop_gradient, so only its
             # ids matter.
             ids = jax.tree_util.tree_map(
-                lambda x: checkpoint_name(x, "hit_ids"), ids
+                _ckpt2d, ids
             )
             hit = refine_hit(scene, state["ro"], state["rd"], state["t_min"], ids)
         else:
@@ -782,7 +801,11 @@ def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
 # tail).  Each extra rung duplicates the trip body (incl. the sweep's
 # own nested ladder) in the program — compile cost, amortized by the
 # persistent cache.
-_CHAIN_DIV = 2
+# May be fractional (>1): finer rungs tighten the lockstep-waste bound
+# (a rung exits once live rows <= sz/DIV, so waste <= DIV x optimal) at
+# the cost of more rungs = more compiled trip bodies.  TPUPT_CHAIN_DIV
+# overrides for sweeps (experiments/sweep_ladder.py).
+_CHAIN_DIV = float(os.environ.get("TPUPT_CHAIN_DIV", "2"))
 _CHAIN_MIN_ROWS = 32  # smallest rung; below DIV*MIN rows, use the flat loop
 
 
@@ -952,7 +975,7 @@ def _run_chain_ladder(carry, trip, np_, max_trips):
         sizes.append(sz)
         if sz <= _CHAIN_MIN_ROWS:
             break
-        sz = max(_CHAIN_MIN_ROWS, sz // _CHAIN_DIV)
+        sz = max(_CHAIN_MIN_ROWS, int(sz / _CHAIN_DIV))
 
     tm = jax.tree_util.tree_map
     src = jnp.arange(np_, dtype=jnp.int32) + carry["segs"][::PACKET] * 0
@@ -961,7 +984,7 @@ def _run_chain_ladder(carry, trip, np_, max_trips):
         m = sz * PACKET
         sub = tm(lambda v: v[:m], full)
         last = li == len(sizes) - 1
-        threshold = 0 if last else sz // _CHAIN_DIV
+        threshold = 0 if last else int(sz / _CHAIN_DIV)
 
         def cond(c_, sz=sz, threshold=threshold):
             i, c = c_

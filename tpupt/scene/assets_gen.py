@@ -18,16 +18,26 @@ def _gen_bunny():
 
 
 def _gen_ajax():
-    # "bust"-scale stand-in: tall dense blob (~20k tris like a decimated
-    # scan).  RAW coordinates match the real ajax.obj the reference scene
-    # was tuned for: ajax-white.json bakes translate(+17.28 z) + scale 0.2
-    # with the camera looking at (0, 3.5, 0), which implies the scan is
-    # centered near raw (0.05, 17.5, -17.28) and ~28 units tall.
+    # "bust"-scale stand-in at REFERENCE SCALE (r3 verdict #3/#6: the
+    # real ajax.obj is a high-poly scan; the old 5k-tri substitute kept
+    # the scene but not the scale): 81,920 triangles — a subdiv-6
+    # icosphere with multi-frequency displacement so the BVH/treelet
+    # hierarchy gets scan-like structure.  RAW coordinates match the real
+    # ajax.obj the reference scene was tuned for: ajax-white.json bakes
+    # translate(+17.28 z) + scale 0.2 with the camera looking at
+    # (0, 3.5, 0), which implies the scan is centered near raw
+    # (0.05, 17.5, -17.28) and ~28 units tall.
     import numpy as np
 
-    v, f = procedural.icosphere(4, 1.0)
+    v, f = procedural.icosphere(6, 1.0)
     x, y, z = v[:, 0], v[:, 1], v[:, 2]
-    bump = 1.0 + 0.18 * np.sin(6 * x) * np.sin(5 * z) + 0.1 * np.cos(7 * y)
+    bump = (
+        1.0
+        + 0.18 * np.sin(6 * x) * np.sin(5 * z)
+        + 0.1 * np.cos(7 * y)
+        + 0.04 * np.sin(23 * x + 11 * y)
+        + 0.02 * np.cos(41 * z - 17 * x)
+    )
     v = v * bump[:, None]
     v[:, 0] = v[:, 0] * 4.5 + 0.053126335
     v[:, 1] = v[:, 1] * 14.0 + 17.469807
@@ -61,12 +71,15 @@ def _gen_quad():
     return v, f
 
 
+# name -> (generator, version).  Bump the version when a generator's
+# output changes: ensure_models tags the file's first comment line and
+# regenerates on mismatch (the .obj files are gitignored build products).
 _GENERATORS = {
-    "bunny.obj": _gen_bunny,
-    "ajax.obj": _gen_ajax,
-    "blob.obj": _gen_blob,
-    "knot.obj": _gen_knot,
-    "quad.obj": _gen_quad,
+    "bunny.obj": (_gen_bunny, 1),
+    "ajax.obj": (_gen_ajax, 2),
+    "blob.obj": (_gen_blob, 1),
+    "knot.obj": (_gen_knot, 1),
+    "quad.obj": (_gen_quad, 1),
 }
 
 
@@ -91,12 +104,18 @@ def locate_asset_path(start: str | None = None) -> str:
 
 
 def ensure_models(models_dir: str | None = None) -> str:
-    """Write any missing generated .obj models; returns the models dir."""
+    """Write any missing or version-stale generated .obj models; returns
+    the models dir."""
     models_dir = models_dir or default_models_dir()
     os.makedirs(models_dir, exist_ok=True)
-    for name, gen in _GENERATORS.items():
+    for name, (gen, version) in _GENERATORS.items():
         path = os.path.join(models_dir, name)
-        if not os.path.exists(path):
-            v, f = gen()
-            procedural.write_obj(path, v, f)
+        tag = f"tpupt-gen {name} v{version}"
+        if os.path.exists(path):
+            with open(path) as fh:
+                first = fh.readline().strip()
+            if first == f"# {tag}":
+                continue
+        v, f = gen()
+        procedural.write_obj(path, v, f, header=tag)
     return models_dir

@@ -140,10 +140,13 @@ def torus_knot(p: int = 2, q: int = 3, segments: int = 200, sides: int = 16,
     return verts.astype(np.float32), np.asarray(faces, np.int32)
 
 
-def write_obj(path: str, positions: np.ndarray, tris: np.ndarray) -> None:
-    """Minimal OBJ writer for generated assets."""
+def write_obj(path: str, positions: np.ndarray, tris: np.ndarray,
+              header: str | None = None) -> None:
+    """Minimal OBJ writer for generated assets.  ``header`` goes into the
+    first comment line (assets_gen uses it as a generator-version tag to
+    regenerate stale files)."""
     with open(path, "w") as fh:
-        fh.write("# generated by tpupt.scene.procedural\n")
+        fh.write(f"# {header or 'generated by tpupt.scene.procedural'}\n")
         for p in positions:
             fh.write(f"v {p[0]:.7g} {p[1]:.7g} {p[2]:.7g}\n")
         for t in tris:
