@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--rr", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/tpupt_prof")
+    ap.add_argument("--scene", default="bunny",
+                    choices=("bunny", "multimesh", "ajax"))
     args = ap.parse_args()
 
     import jax
@@ -40,12 +42,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from tpupt.bench.harness import _scene_bunny
+    from tpupt.bench import harness
     from tpupt.render.integrator import render_image
 
-    scene, camera = _scene_bunny()
+    scene, camera = getattr(harness, f"_scene_{args.scene}")()
+    w = h = args.size
+    if args.scene == "ajax":
+        w, h = 720, 1280  # the scene's native portrait framing
     fn = jax.jit(partial(
-        render_image, width=args.size, height=args.size, spp=args.spp,
+        render_image, width=w, height=h, spp=args.spp,
         max_bounces=args.mb, rr_start=args.rr,
     ))
     buf, rays = fn(scene, camera)

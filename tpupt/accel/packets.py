@@ -41,7 +41,11 @@ from jax import lax
 
 from tpupt.core.vec import Vec3
 
-PACKET = 256  # rays per packet (sublane-major dim of the dense math)
+# rays per packet (sublane-major dim of the dense math).  128/256/512
+# measured 7.65/7.95/6.23 Mrays/s at 1024² spp=4 (r2 regime); 256 stands.
+# TPUPT_PACKET overrides for re-sweeps under new regimes (secondary
+# treelet unions grow with P, so the chain ladder may shift the optimum).
+PACKET = int(os.environ.get("TPUPT_PACKET", "256"))
 _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
 # Shrink factor per ladder rung.  Each rung duplicates the sweep body in
 # the program (compile cost ~1s/rung here), and a rung keeps ALL its rows
@@ -71,7 +75,7 @@ _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 # keep-left-on-tie combiner reproduce sequential visits exactly — see
 # _next_treelets_r (exact-t ties across treelets are real: shared-edge
 # hits of unjittered rays).
-FETCH_R = 2
+FETCH_R = int(os.environ.get("TPUPT_FETCH_R", "2"))
 # The DIFFERENTIABLE ids pass prefers R=4: its 15-channel payload reduce
 # amortizes better over wider steps, and the bwd-relevant grad-forward
 # sweeps dominate its cost (R=2 6.17, R=4 6.59, R=8 6.45 Mrays/s fwd+bwd).
