@@ -95,6 +95,18 @@ FETCH_R_DIFF = 4
 # Kept as a measured negative result (DESIGN.md round 3).
 _WINNER_IMPL = "variadic"
 
+# Above this padded treelet count, the sweep switches to LEXICOGRAPHIC
+# selection: instead of clearing the fetched column of the (sz, kpad)
+# entry array (a full-array read+write per fetch), each packet row
+# carries the last fetched (entry, index) pair and the argmin pass masks
+# everything lex-<= it — entries are consumed in strictly increasing
+# (entry, index) order, so the carried pair IS the consumed set.  Entry
+# becomes READ-ONLY: 3 O(K) traversals per step instead of ~7, exact
+# same fetch order including ties.  Only pays off when the O(K) passes
+# matter: at bunny scale (kpad=480) selection is ~2.5% of a sweep step;
+# at ajax scale (kpad=3744) it is ~25% (DESIGN.md round-4 ajax profile).
+_LEX_SEL_MIN_K = int(os.environ.get("TPUPT_LEX_SEL_MIN_K", "2048"))
+
 
 def _ladder_sizes(np_: int) -> list[int]:
     sizes = []
@@ -361,8 +373,21 @@ def _cull_entries(scene, rows, act_p):
     return _entry_dense(scene.tre_min, scene.tre_max, rows, act_p)
 
 
+def _remaining_min(r):
+    """Per-row minimum entry among NOT-YET-FETCHED treelets.  With lex
+    selection the consumed set is everything lex-<= the carried
+    (sel_val, sel_idx) pair; otherwise fetched columns hold BIG."""
+    entry = r["entry"]
+    if "sel_val" in r:
+        iota_k = jnp.arange(entry.shape[1], dtype=jnp.int32)[None, :]
+        v, i = r["sel_val"][:, None], r["sel_idx"][:, None]
+        remaining = (entry > v) | ((entry == v) & (iota_k > i))
+        return jnp.min(jnp.where(remaining, entry, BIG), axis=-1)
+    return jnp.min(entry, axis=-1)
+
+
 def _packet_live(r):
-    ent = jnp.min(r["entry"], axis=-1)
+    ent = _remaining_min(r)
     return (ent < BIG) & (ent <= jnp.max(r["t"], axis=1))
 
 
@@ -381,12 +406,25 @@ def _comp(blocks, c, L):
 def _next_treelets_r(scene, r, R, L):
     """Advance each packet to its R nearest remaining hit treelets.
 
-    Returns (entry-with-R-winners-cleared, blocks [R x (sz, C*L)],
-    live_pairs (sz, R*L) bool, slot_pairs (sz, R*L) i32 global slot ids).
-    Exhausted packets (fewer than R candidates left, or nearest entry
-    beyond every live lane's best t) get masked fetches of row 0 — their
-    pairs are killed by live_pairs, and their entry columns are NOT
-    cleared, exactly like the single-fetch step.
+    Returns (sel_updates dict — the state keys the step must write back
+    into its carry — blocks [R x (sz, C*L)], live_pairs (sz, R*L) bool,
+    slot_pairs (sz, R*L) i32 global slot ids).  Exhausted packets (fewer
+    than R candidates left, or nearest entry beyond every live lane's
+    best t) get masked fetches of row 0 — their pairs are killed by
+    live_pairs, and their consumed set does NOT advance, exactly like
+    the single-fetch step.
+
+    Treelets are consumed in strictly increasing (entry, index) order.
+    Two equivalent mechanisms, switched on the carried keys:
+      * clear mode (small K): the fetched column of the entry array is
+        overwritten with BIG by a compare-select (NOT a scatter: the
+        .at[rows, tid].set(BIG) form compiled to a per-step scatter,
+        ~0.05 ms/step at sz=512 — 20x the array's HBM cost);
+      * lex mode ("sel_val"/"sel_idx" in the carry, big K — see
+        _LEX_SEL_MIN_K): entry stays read-only and the argmin pass masks
+        everything lex-<= the carried last-fetched (value, index) pair.
+        Identical fetch order: the argmin keeps the lowest index among
+        exact-entry ties, which is exactly lex order.
 
     The returned lists are in REVERSE fetch order (farthest first): the
     winner reduce keeps the LEFT operand on exact-t ties, so putting the
@@ -398,29 +436,42 @@ def _next_treelets_r(scene, r, R, L):
     tests/test_pallas_sweep.py's regular ray grid).
     """
     entry = r["entry"]
+    lex = "sel_val" in r
     tmax = jnp.max(r["t"], axis=1)
     iota_k = jnp.arange(entry.shape[1], dtype=jnp.int32)[None, :]
     iota_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    sel_val = r.get("sel_val")
+    sel_idx = r.get("sel_idx")
     blocks, lives, slots = [], [], []
     for _ in range(R):
-        ent = jnp.min(entry, axis=-1)
-        tid = jnp.argmin(entry, axis=-1).astype(jnp.int32)
+        if lex:
+            remaining = (entry > sel_val[:, None]) | (
+                (entry == sel_val[:, None]) & (iota_k > sel_idx[:, None])
+            )
+            masked = jnp.where(remaining, entry, BIG)
+        else:
+            masked = entry
+        ent = jnp.min(masked, axis=-1)
+        tid = jnp.argmin(masked, axis=-1).astype(jnp.int32)
         valid = (ent < BIG) & (ent <= tmax)
         safe_tid = jnp.where(valid, tid, 0)
-        # clear the winner column by compare-select, not scatter: the
-        # .at[rows, tid].set(BIG) form compiled to a per-step scatter
-        # (~0.05 ms/step at sz=512 — 20x the array's HBM cost); an
-        # iota==tid select fuses with the argmin's other consumers.
-        entry = jnp.where(
-            (iota_k == tid[:, None]) & valid[:, None], BIG, entry
-        )
+        if lex:
+            sel_val = jnp.where(valid, ent, sel_val)
+            sel_idx = jnp.where(valid, tid, sel_idx)
+        else:
+            entry = jnp.where(
+                (iota_k == tid[:, None]) & valid[:, None], BIG, entry
+            )
         blocks.insert(0, scene.tre_tris[safe_tid])
         lives.insert(
             0, jnp.broadcast_to(valid[:, None], (valid.shape[0], L))
         )
         slots.insert(0, safe_tid[:, None] * L + iota_l)
     cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
-    return entry, blocks, cat(lives), cat(slots)
+    sel_updates = (
+        {"sel_val": sel_val, "sel_idx": sel_idx} if lex else {"entry": entry}
+    )
+    return sel_updates, blocks, cat(lives), cat(slots)
 
 
 def _dense_mt(scene, blocks, r, live_pairs, L):
@@ -634,6 +685,11 @@ def intersect_treelets(
 
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
+    if rows["entry"].shape[1] >= _LEX_SEL_MIN_K:
+        # lex selection (see _LEX_SEL_MIN_K): nothing is lex-<= the
+        # (-BIG, -1) init, so the consumed set starts empty
+        rows["sel_val"] = zero_p[:, 0] - BIG
+        rows["sel_idx"] = zero_p[:, 0].astype(jnp.int32) - 1
     rows["slot"] = zero_p.astype(jnp.int32) - 1
     rows["nx"] = zero_p
     rows["ny"] = zero_p
@@ -655,7 +711,7 @@ def intersect_treelets(
 
     def make_step(sz):
         def step(r):
-            entry, blocks, live_pairs, slot_pairs = _next_treelets_r(
+            sel_updates, blocks, live_pairs, slot_pairs = _next_treelets_r(
                 scene, r, fetch_r, L
             )
             ok, t = _dense_mt(scene, blocks, r, live_pairs, L)
@@ -677,7 +733,7 @@ def intersect_treelets(
             got = t_new < BIG
 
             out = dict(r)
-            out["entry"] = entry
+            out.update(sel_updates)
             out["t"] = jnp.where(got, t_new, r["t"])
             out["slot"] = jnp.where(got, new_slot, r["slot"])
             out["nx"] = jnp.where(got, wnx, r["nx"])
@@ -729,19 +785,22 @@ def intersect_treelets_anyhit(
 
     rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_limit, active)
     rows["entry"] = _cull_entries(scene, rows, act_p)
+    if rows["entry"].shape[1] >= _LEX_SEL_MIN_K:
+        rows["sel_val"] = rows["t"][:, 0] * 0.0 - BIG
+        rows["sel_idx"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) - 1
     rows["src"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) + jnp.arange(
         np_, dtype=jnp.int32
     )
 
     def make_step(sz):
         def step(r):
-            entry, blocks, live_pairs, _slots = _next_treelets_r(
+            sel_updates, blocks, live_pairs, _slots = _next_treelets_r(
                 scene, r, FETCH_R, L
             )
             ok, _t = _dense_mt(scene, blocks, r, live_pairs, L)
             occ_new = jnp.any(ok, axis=1)  # (sz, p)
             out = dict(r)
-            out["entry"] = entry
+            out.update(sel_updates)
             # occluded lanes stop mattering: -BIG removes them from the
             # packet's residual search bound (and equals "occluded" below)
             out["t"] = jnp.where(occ_new, -BIG, r["t"])
