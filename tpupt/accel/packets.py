@@ -76,10 +76,12 @@ _TWOLEVEL_MIN_K = 96  # engage the two-level cull above this treelet count
 # _next_treelets_r (exact-t ties across treelets are real: shared-edge
 # hits of unjittered rays).
 FETCH_R = int(os.environ.get("TPUPT_FETCH_R", "2"))
-# The DIFFERENTIABLE ids pass prefers R=4: its 15-channel payload reduce
-# amortizes better over wider steps, and the bwd-relevant grad-forward
-# sweeps dominate its cost (R=2 6.17, R=4 6.59, R=8 6.45 Mrays/s fwd+bwd).
-FETCH_R_DIFF = 4
+# The DIFFERENTIABLE ids pass: r3 measured R=4 best (6.17/6.59/6.45 for
+# 2/4/8) when residual-save stacking dominated; after the r4 2D-view
+# saves fix the balance flipped — R=2 7.36, R=4 7.29, R=8 6.80 Mrays/s
+# fwd+bwd (beyond-termination payload waste now outweighs the step
+# amortization).  R=2 stands.
+FETCH_R_DIFF = int(os.environ.get("TPUPT_FETCH_R_DIFF", "2"))
 
 # Winner-selection lowering: "variadic" = one lax.reduce with a 6..15-
 # channel tuple combiner; "minsum" = native min/compare/sum reduces only
