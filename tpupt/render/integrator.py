@@ -724,9 +724,14 @@ def trace_sample(
         # SAVE the discrete hit ids — with them as residuals the backward
         # recompute drops the (expensive, non-differentiable) traversal
         # sweeps entirely and only re-runs the closed-form shading math.
+        # TPUPT_REMAT=0 disables the checkpoint wrapper entirely (AD saves
+        # every differentiable intermediate; the stop_gradient'd traversal
+        # internals are never saved either way) — measured
+        # experiments-only knob: trades ~2 GB of residuals at 1024^2 mb8
+        # against the backward's shading recompute.
         policy = jax.checkpoint_policies.save_only_these_names("hit_ids")
+        remat = os.environ.get("TPUPT_REMAT", "1") != "0"
 
-        @partial(jax.checkpoint, policy=policy)
         def body(st, b):
             # Overlapped grad all-reduce (diff/overlap.py): under a
             # sharded mesh, psum each bounce's scene-parameter cotangent
@@ -746,6 +751,8 @@ def trace_sample(
                 None,
             )
 
+        if remat:
+            body = partial(jax.checkpoint, policy=policy)(body)
         state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
 
     # final pixel estimate: collected radiance, plus the raw throughput for
