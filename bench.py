@@ -33,6 +33,8 @@ def _bench_forward(scene, camera, width, height, spp, max_bounces, iters, rr_sta
     from functools import partial
     from tpupt.render.integrator import render_image
 
+    from tpupt.bench.harness import _timed
+
     fn = jax.jit(
         partial(
             render_image,
@@ -43,16 +45,7 @@ def _bench_forward(scene, camera, width, height, spp, max_bounces, iters, rr_sta
             rr_start=rr_start,
         )
     )
-    buffers, rays = fn(scene, camera)  # warmup/compile
-    jax.block_until_ready(buffers.color)
-
-    t0 = time.perf_counter()
-    total_rays = 0
-    for _ in range(iters):
-        buffers, rays = fn(scene, camera)
-        total_rays += int(rays)
-    jax.block_until_ready(buffers.color)
-    secs = time.perf_counter() - t0
+    total_rays, secs = _timed(fn, (scene, camera), iters)
     return total_rays / secs / 1e6, secs, total_rays
 
 
@@ -71,19 +64,14 @@ def _bench_fwd_bwd(scene, camera, width, height, spp, max_bounces, iters):
         )
         return jnp.sum((buf.color - target) ** 2), rays
 
+    from tpupt.bench.harness import _timed
+
     grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
     params = extract_params(scene)
-    g, rays = grad_fn(params, scene, camera)
-    jax.block_until_ready(g["bg_up"])
-
-    t0 = time.perf_counter()
-    total_rays = 0
-    for _ in range(iters):
-        g, rays = grad_fn(params, scene, camera)
-        total_rays += int(rays)
-    jax.block_until_ready(g["bg_up"])
-    secs = time.perf_counter() - t0
     # fwd+bwd: count primal segments only (conservative)
+    total_rays, secs = _timed(
+        lambda p, s, c: grad_fn(p, s, c), (params, scene, camera), iters
+    )
     return total_rays / secs / 1e6, secs, total_rays
 
 
@@ -102,9 +90,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpupt.utils.cache import setup_compile_cache
+
+    setup_compile_cache("bench")
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 

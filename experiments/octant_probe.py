@@ -41,9 +41,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpupt.utils.cache import setup_compile_cache
+    setup_compile_cache("bench")
 
     from tpupt.core import camera as cam
     from tpupt.core.vec import Vec3

@@ -15,13 +15,16 @@ costs ~6 ms per dispatch, so per-step timing must amortize).  Results
 print ns/pair and the projected full-sweep cost.
 
 Run:  python experiments/prof_pair_test.py  (TPU; ~minutes of compiles,
-cached under /tmp/tpupt_jax_cache_prof)
+persistent compile cache enabled)
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 
@@ -29,9 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_prof")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from tpupt.utils.cache import setup_compile_cache
+setup_compile_cache("prof")
 
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7

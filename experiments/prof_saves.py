@@ -42,9 +42,8 @@ def main():
     from jax.ad_checkpoint import checkpoint_name
     from functools import partial
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpupt.utils.cache import setup_compile_cache
+    setup_compile_cache("bench")
 
     N, T, C = args.n, args.t, args.c
 

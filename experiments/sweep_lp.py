@@ -30,9 +30,8 @@ def main():
     import jax
     from functools import partial
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpupt.utils.cache import setup_compile_cache
+    setup_compile_cache("bench")
 
     import tpupt.accel.packets as pk
     from tpupt.bench.harness import _scene_bunny

@@ -53,9 +53,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tpupt_jax_cache_bench")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpupt.utils.cache import setup_compile_cache
+    setup_compile_cache("bench")
 
     n = args.mb * 1024 * 1024 // 4
     x0 = jnp.linspace(0.25, 0.75, n, dtype=jnp.float32).reshape(-1, 256)

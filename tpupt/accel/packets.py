@@ -56,6 +56,14 @@ _CULL_CHUNK = 128  # treelets per dense-culling chunk (lane dim)
 # (experiments/sweep_ladder.py).
 _LADDER_DIV = float(os.environ.get("TPUPT_LADDER_DIV", "2"))
 _LADDER_MIN = 32  # smallest rung (packets)
+# fail fast on unusable knob values: DIV <= 1 makes the rung-size loops
+# never shrink (a trace-time hang with unbounded list growth), and a
+# non-multiple-of-128 packet breaks the lane-tiling assumptions the whole
+# dense-math layout is built on (DESIGN.md)
+if not _LADDER_DIV > 1.0:
+    raise ValueError(f"TPUPT_LADDER_DIV must be > 1, got {_LADDER_DIV}")
+if PACKET <= 0 or PACKET % 128 != 0:
+    raise ValueError(f"TPUPT_PACKET must be a positive multiple of 128, got {PACKET}")
 BIG = jnp.float32(3.0e38)
 MOLLER_EPS = 1e-7  # reference EPSILON, src/lib/intersections.cuh:54
 

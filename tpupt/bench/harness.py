@@ -32,18 +32,34 @@ class BenchResult:
     extra: dict
 
 
-def _timed(fn, args, iters):
-    import jax
+# Minimum timed window.  The relay pays ~6 ms dispatch per call plus
+# noise at the 100 ms scale; a 0.2 s window printed a 25%-low number for
+# a first-class config in round 4 (config 4: 18.63 vs the real 24.98).
+# Every config auto-extends its window to at least this, so the printed
+# line is the quotable number with no post-hoc correction.
+_MIN_WINDOW_S = 2.0
+_MAX_ITERS = 1000
 
+
+def _timed(fn, args, iters):
+    """Fenced auto-extending timer: ``iters`` is a MINIMUM call count;
+    calls continue until the window is >= _MIN_WINDOW_S.  Each call
+    fetches int(rays) to host, which fences the relay (CLAUDE.md timing
+    trap: block_until_ready alone does not reliably fence small
+    programs).  The warmup call absorbs compile + the relay-side
+    first-dispatch program load (10s-scale even on a cache hit)."""
     out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    int(out[1])  # fenced warmup
     t0 = time.perf_counter()
-    total_rays = 0
-    for _ in range(iters):
+    total_rays, done = 0, 0
+    while True:
         out = fn(*args)
         total_rays += int(out[1])
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    return total_rays, time.perf_counter() - t0
+        done += 1
+        secs = time.perf_counter() - t0
+        if (done >= iters and secs >= _MIN_WINDOW_S) or done >= _MAX_ITERS:
+            break
+    return total_rays, secs
 
 
 def _scene_cornell():

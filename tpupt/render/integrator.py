@@ -814,6 +814,8 @@ def accumulate(buffers: RenderBuffers, color, normal, depth) -> RenderBuffers:
 # overrides for sweeps (experiments/sweep_ladder.py).
 _CHAIN_DIV = float(os.environ.get("TPUPT_CHAIN_DIV", "2"))
 _CHAIN_MIN_ROWS = 32  # smallest rung; below DIV*MIN rows, use the flat loop
+if not _CHAIN_DIV > 1.0:  # DIV <= 1: the rung-size loop never shrinks (trace-time hang)
+    raise ValueError(f"TPUPT_CHAIN_DIV must be > 1, got {_CHAIN_DIV}")
 
 
 def _render_chained(

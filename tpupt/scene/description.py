@@ -264,6 +264,12 @@ class SceneDescription:
             )
         if not light_objs:
             l_centers, l_radii = [np.zeros(3)], [0.0]
+        # one-hot matmul NEE fetches SUM matching table rows — a duplicate
+        # object id would silently produce garbage light geometry, so the
+        # uniqueness precondition is enforced where the table is baked
+        assert len(set(light_objs)) == len(light_objs), (
+            f"duplicate object ids in NEE light table: {light_objs}"
+        )
 
         # Triangle-area lights: world-baked triangles of emissive MESH
         # instances for NEE sampling (packed [p0, e1, e2, obj, mat] rows
