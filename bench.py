@@ -175,7 +175,7 @@ def main():
         # remaining BASELINE configs via the full harness
         from tpupt.bench.harness import run_config
 
-        for cfg in ("sphere", "cornell", "diff", "multimesh", "ajax"):
+        for cfg in ("sphere", "cornell", "diff", "multimesh", "ajax", "ajax_hi"):
             try:
                 r = run_config(cfg, iters=2)
                 print(

@@ -117,6 +117,23 @@ _WINNER_IMPL = "variadic"
 # at ajax scale (kpad=3744) it is ~25% (DESIGN.md round-4 ajax profile).
 _LEX_SEL_MIN_K = int(os.environ.get("TPUPT_LEX_SEL_MIN_K", "2048"))
 
+# Above this padded treelet count, selection switches again: from lex
+# (whose argmin still runs 3 O(K) traversals of the (sz, kpad) entry
+# array per step — 25% of an ajax sweep step at K=3.7k, and linearly
+# worse) to a PRIORITY QUEUE over the existing _SUPER-treelet groups:
+# the carry holds per-super remaining-min entries (sz, ks), each step
+# argmins over supers (O(ks)), row-gathers the winning super's _SUPER
+# entries (one 16-wide contiguous row gather — the same cost class as
+# the treelet block fetch itself), lex-masks/argmins within them
+# (O(_SUPER)), and compare-select-writes the one changed super min back
+# (O(ks)).  Per-step selection cost drops from O(kpad) to O(kpad/16),
+# which is what survives the reference's real ajax scale (K ~ 10^4-10^5,
+# several hundred thousand triangles).  Fetch order is IDENTICAL to
+# clear/lex selection including exact-entry ties: the global (entry,
+# index) argmin factors exactly through (per-super min, leftmost super
+# on ties) because a tied lower index lives in a lower-id super.
+_SUPER_SEL_MIN_K = int(os.environ.get("TPUPT_SUPER_SEL_MIN_K", "8192"))
+
 
 def _ladder_sizes(np_: int) -> list[int]:
     sizes = []
@@ -384,9 +401,13 @@ def _cull_entries(scene, rows, act_p):
 
 
 def _remaining_min(r):
-    """Per-row minimum entry among NOT-YET-FETCHED treelets.  With lex
-    selection the consumed set is everything lex-<= the carried
-    (sel_val, sel_idx) pair; otherwise fetched columns hold BIG."""
+    """Per-row minimum entry among NOT-YET-FETCHED treelets.  With
+    super-pq selection the carried per-super mins already exclude the
+    consumed set (O(ks)); with lex selection the consumed set is
+    everything lex-<= the carried (sel_val, sel_idx) pair; otherwise
+    fetched columns hold BIG."""
+    if "supmin" in r:
+        return jnp.min(r["supmin"], axis=-1)
     entry = r["entry"]
     if "sel_val" in r:
         iota_k = jnp.arange(entry.shape[1], dtype=jnp.int32)[None, :]
@@ -445,6 +466,8 @@ def _next_treelets_r(scene, r, R, L):
     edge hits both adjacent triangles at the same t (caught by
     tests/test_pallas_sweep.py's regular ray grid).
     """
+    if "supmin" in r:
+        return _next_treelets_super(scene, r, R, L)
     entry = r["entry"]
     lex = "sel_val" in r
     tmax = jnp.max(r["t"], axis=1)
@@ -482,6 +505,89 @@ def _next_treelets_r(scene, r, R, L):
         {"sel_val": sel_val, "sel_idx": sel_idx} if lex else {"entry": entry}
     )
     return sel_updates, blocks, cat(lives), cat(slots)
+
+
+def _next_treelets_super(scene, r, R, L):
+    """Super-pq variant of _next_treelets_r (see _SUPER_SEL_MIN_K): same
+    return contract, same strictly-increasing (entry, index) consumption
+    order — arbitrated bit-identical to clear/lex selection by
+    tests/test_super_selection.py incl. exact-entry shared-edge ties.
+
+    The carry holds, besides the read-only ``entry``, the lex pair
+    (sel_val, sel_idx) AND ``supmin`` (sz, ks): the minimum entry among
+    NOT-YET-CONSUMED treelets of each _SUPER-group.  Selecting the global
+    lex-min via (argmin over supers, then argmin within the winning
+    super's gathered 16 entries) is exact: on an equal-value tie the
+    leftmost super wins the outer argmin and the lowest index wins the
+    inner one, which IS global (entry, index) order.  Consuming an entry
+    only changes its own super's min — every other super's remaining set
+    is untouched, and no remaining entry anywhere can be lex-below the
+    new (sel_val, sel_idx) (it would have been selected instead), so the
+    single-column compare-select update keeps supmin exact."""
+    entry = r["entry"]
+    sz, kpad = entry.shape
+    ks = kpad // _SUPER
+    entry3 = entry.reshape(sz, ks, _SUPER)
+    tmax = jnp.max(r["t"], axis=1)
+    iota_ks = jnp.arange(ks, dtype=jnp.int32)[None, :]
+    iota_s = jnp.arange(_SUPER, dtype=jnp.int32)[None, :]
+    iota_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+    supmin = r["supmin"]
+    sel_val, sel_idx = r["sel_val"], r["sel_idx"]
+    blocks, lives, slots = [], [], []
+    for _ in range(R):
+        val = jnp.min(supmin, axis=1)
+        ssid = jnp.argmin(supmin, axis=1).astype(jnp.int32)
+        valid = (val < BIG) & (val <= tmax)
+        safe_ssid = jnp.where(valid, ssid, 0)
+        es = jnp.take_along_axis(
+            entry3, safe_ssid[:, None, None], axis=1
+        )[:, 0, :]  # (sz, _SUPER) — one contiguous 16-wide row gather
+        gidx = safe_ssid[:, None] * _SUPER + iota_s
+        rem = (es > sel_val[:, None]) | (
+            (es == sel_val[:, None]) & (gidx > sel_idx[:, None])
+        )
+        masked = jnp.where(rem, es, BIG)
+        li = jnp.argmin(masked, axis=1).astype(jnp.int32)
+        tid = safe_ssid * _SUPER + li
+        sel_val = jnp.where(valid, jnp.min(masked, axis=1), sel_val)
+        sel_idx = jnp.where(valid, tid, sel_idx)
+        # the winning super's new remaining-min, under the ADVANCED pair
+        rem2 = (es > sel_val[:, None]) | (
+            (es == sel_val[:, None]) & (gidx > sel_idx[:, None])
+        )
+        mnew = jnp.min(jnp.where(rem2, es, BIG), axis=1)
+        supmin = jnp.where(
+            (iota_ks == ssid[:, None]) & valid[:, None],
+            mnew[:, None], supmin,
+        )
+        safe_tid = jnp.where(valid, tid, 0)
+        blocks.insert(0, scene.tre_tris[safe_tid])
+        lives.insert(
+            0, jnp.broadcast_to(valid[:, None], (valid.shape[0], L))
+        )
+        slots.insert(0, safe_tid[:, None] * L + iota_l)
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1))
+    sel_updates = {"sel_val": sel_val, "sel_idx": sel_idx, "supmin": supmin}
+    return sel_updates, blocks, cat(lives), cat(slots)
+
+
+def _init_selection(rows, np_):
+    """Attach the selection-mode carry keys for the entry array's K:
+    super-pq above _SUPER_SEL_MIN_K, lex above _LEX_SEL_MIN_K, plain
+    clear-mode otherwise (no extra keys)."""
+    kpad = rows["entry"].shape[1]
+    if kpad < _LEX_SEL_MIN_K:
+        return rows
+    zf = rows["t"][:, 0] * 0.0
+    # nothing is lex-<= the (-BIG, -1) init: the consumed set starts empty
+    rows["sel_val"] = zf - BIG
+    rows["sel_idx"] = zf.astype(jnp.int32) - 1
+    if kpad >= _SUPER_SEL_MIN_K and kpad % _SUPER == 0:
+        rows["supmin"] = rows["entry"].reshape(
+            np_, kpad // _SUPER, _SUPER
+        ).min(axis=2)
+    return rows
 
 
 def _dense_mt(scene, blocks, r, live_pairs, L):
@@ -661,6 +767,48 @@ _DIFF_COMPS = (0, 1, 2, 3, 4, 5, 6, 7, 8)
 _DIFF_KEYS = ("p0x", "p0y", "p0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z")
 
 
+def sweep_step(scene, r, fetch_r, L, extra_keys, extra_comps, exact_ties):
+    """ONE production closest-hit sweep step (the body every ladder rung
+    while-loops): advance to the R nearest remaining treelets, dense MT,
+    variadic winner reduce, carry update.  Module-level so
+    experiments/flops_audit.py can compile and cost-analyze exactly the
+    program the render runs (the round-4 structural-limit claim divided a
+    measured pair rate by a HAND-ESTIMATED ~70 ops/pair; this makes the
+    divisor measurable).
+
+    Winner selection + metadata in ONE variadic reduce over the R*L pair
+    axis: min-by-(t, slot) carrying the packed cross-normal and object id
+    as payload.  The previous two-pass form (argmin, then a one-hot
+    re-reduce over the same (sz, L, p) data for the metadata) forced XLA
+    to MATERIALIZE the pair tensor between the passes — measured 35% of
+    the forward render at 1M lanes (0.29 ms/step at sz=2048, HBM-bound on
+    the 67 MB intermediate).  A single reduce keeps the whole MT chain as
+    the reduce's fused producer; only (sz, p) outputs touch HBM.
+    """
+    sel_updates, blocks, live_pairs, slot_pairs = _next_treelets_r(
+        scene, r, fetch_r, L
+    )
+    ok, t = _dense_mt(scene, blocks, r, live_pairs, L)
+    t_masked = jnp.where(ok, t, BIG)
+    t_new, new_slot, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
+        t_masked, blocks, L, slot_pairs, extra_comps,
+        exact_ties=exact_ties,
+    )
+    got = t_new < BIG
+
+    out = dict(r)
+    out.update(sel_updates)
+    out["t"] = jnp.where(got, t_new, r["t"])
+    out["slot"] = jnp.where(got, new_slot, r["slot"])
+    out["nx"] = jnp.where(got, wnx, r["nx"])
+    out["ny"] = jnp.where(got, wny, r["ny"])
+    out["nz"] = jnp.where(got, wnz, r["nz"])
+    out["obj"] = jnp.where(got, wobj, r["obj"])
+    for k, w in zip(extra_keys, wextra):
+        out[k] = jnp.where(got, w, r[k])
+    return out
+
+
 def intersect_treelets(
     scene,
     ro: Vec3,  # components (N,)
@@ -695,11 +843,7 @@ def intersect_treelets(
 
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
-    if rows["entry"].shape[1] >= _LEX_SEL_MIN_K:
-        # lex selection (see _LEX_SEL_MIN_K): nothing is lex-<= the
-        # (-BIG, -1) init, so the consumed set starts empty
-        rows["sel_val"] = zero_p[:, 0] - BIG
-        rows["sel_idx"] = zero_p[:, 0].astype(jnp.int32) - 1
+    rows = _init_selection(rows, np_)
     rows["slot"] = zero_p.astype(jnp.int32) - 1
     rows["nx"] = zero_p
     rows["ny"] = zero_p
@@ -721,38 +865,9 @@ def intersect_treelets(
 
     def make_step(sz):
         def step(r):
-            sel_updates, blocks, live_pairs, slot_pairs = _next_treelets_r(
-                scene, r, fetch_r, L
+            return sweep_step(
+                scene, r, fetch_r, L, extra_keys, extra_comps, exact_ties
             )
-            ok, t = _dense_mt(scene, blocks, r, live_pairs, L)
-            t_masked = jnp.where(ok, t, BIG)
-            # Winner selection + metadata in ONE variadic reduce over the
-            # R*L pair axis: min-by-(t, slot) carrying the packed
-            # cross-normal and object id as payload.  The previous
-            # two-pass form (argmin, then a one-hot re-reduce over the
-            # same (sz, L, p) data for the metadata) forced XLA to
-            # MATERIALIZE the pair tensor between the passes — measured
-            # 35% of the forward render at 1M lanes (0.29 ms/step at
-            # sz=2048, HBM-bound on the 67 MB intermediate).  A single
-            # reduce keeps the whole MT chain as the reduce's fused
-            # producer; only (sz, p) outputs touch HBM.
-            t_new, new_slot, wnx, wny, wnz, wobj, *wextra = _winner_reduce(
-                t_masked, blocks, L, slot_pairs, extra_comps,
-                exact_ties=exact_ties,
-            )
-            got = t_new < BIG
-
-            out = dict(r)
-            out.update(sel_updates)
-            out["t"] = jnp.where(got, t_new, r["t"])
-            out["slot"] = jnp.where(got, new_slot, r["slot"])
-            out["nx"] = jnp.where(got, wnx, r["nx"])
-            out["ny"] = jnp.where(got, wny, r["ny"])
-            out["nz"] = jnp.where(got, wnz, r["nz"])
-            out["obj"] = jnp.where(got, wobj, r["obj"])
-            for k, w in zip(extra_keys, wextra):
-                out[k] = jnp.where(got, w, r[k])
-            return out
 
         return step
 
@@ -795,9 +910,7 @@ def intersect_treelets_anyhit(
 
     rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_limit, active)
     rows["entry"] = _cull_entries(scene, rows, act_p)
-    if rows["entry"].shape[1] >= _LEX_SEL_MIN_K:
-        rows["sel_val"] = rows["t"][:, 0] * 0.0 - BIG
-        rows["sel_idx"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) - 1
+    rows = _init_selection(rows, np_)
     rows["src"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) + jnp.arange(
         np_, dtype=jnp.int32
     )

@@ -133,6 +133,22 @@ def _scene_ajax():
     return desc.build(), desc.camera
 
 
+def _scene_ajax_hi():
+    """The reference's REAL ajax scale (round-4 verdict #3): the 327,680-
+    triangle generated bust (K ~ 1.5e4 treelets), where per-step treelet
+    selection must be sublinear in K (super-pq, accel/packets)."""
+    import os
+
+    from tpupt.scene.assets_gen import ensure_models, locate_asset_path
+    from tpupt.scene.json_parser import scene_from_json
+
+    ensure_models()
+    desc = scene_from_json(
+        os.path.join(locate_asset_path(), "scenes", "ajax-white-hi.json")
+    )
+    return desc.build(), desc.camera
+
+
 def bench_forward(scene, camera, size, spp, max_bounces, iters, rr_start=None):
     import jax
 
@@ -215,6 +231,9 @@ CONFIGS = {
     # scene with the 81,920-tri generated bust at the reference's native
     # 720x1280 portrait resolution (scene JSON sampler: 10 spp)
     "ajax": dict(scene=_scene_ajax, size=(720, 1280), spp=10, mb=50, rr=8),
+    # REAL reference scale: 327,680 tris, K ~ 1.5e4 — the super-pq
+    # selection regime (round-4 verdict #3)
+    "ajax_hi": dict(scene=_scene_ajax_hi, size=(720, 1280), spp=10, mb=50, rr=8),
 }
 
 

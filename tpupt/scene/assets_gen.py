@@ -45,6 +45,31 @@ def _gen_ajax():
     return v.astype(np.float32), f
 
 
+def _gen_ajax_hi():
+    # The reference's REAL ajax.obj is a several-hundred-thousand-tri
+    # scan (model_loader.cpp:11-44 loads it via Assimp); the 82k stand-in
+    # above proves the scene, this one proves the ACCELERATOR at that
+    # scale: subdiv-7 → 327,680 triangles, K ~ 1.5e4 treelets — the
+    # regime where O(K) per-step selection dominates and the super-pq
+    # selection (accel/packets._SUPER_SEL_MIN_K) must carry the sweep.
+    import numpy as np
+
+    v, f = procedural.icosphere(7, 1.0)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    bump = (
+        1.0
+        + 0.18 * np.sin(6 * x) * np.sin(5 * z)
+        + 0.1 * np.cos(7 * y)
+        + 0.04 * np.sin(23 * x + 11 * y)
+        + 0.02 * np.cos(41 * z - 17 * x)
+    )
+    v = v * bump[:, None]
+    v[:, 0] = v[:, 0] * 4.5 + 0.053126335
+    v[:, 1] = v[:, 1] * 14.0 + 17.469807
+    v[:, 2] = v[:, 2] * 4.5 - 17.283958
+    return v.astype(np.float32), f
+
+
 def _gen_blob():
     import numpy as np
 
@@ -77,6 +102,7 @@ def _gen_quad():
 _GENERATORS = {
     "bunny.obj": (_gen_bunny, 1),
     "ajax.obj": (_gen_ajax, 2),
+    "ajax_hi.obj": (_gen_ajax_hi, 1),
     "blob.obj": (_gen_blob, 1),
     "knot.obj": (_gen_knot, 1),
     "quad.obj": (_gen_quad, 1),
