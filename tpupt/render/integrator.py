@@ -614,6 +614,174 @@ def _bounce_body(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Width ladder for the DIFFERENTIABLE bounce scan (round-5 verdict #1).
+#
+# The forward path's central lesson (packet-row chain ladder, +33%) never
+# applied to the diff path: reverse-mode AD cannot cross a while_loop, so
+# the scan ran all N lanes for every bounce while average live fraction
+# is ~13% — grad-forward sweeps + full-width elementwise recompute were
+# ~370 ms of the 901 ms fwd+bwd step (round-4 profile).  This ladder is
+# the exactness-preserving static version: a schedule of shrinking rungs,
+# each a fixed-shape differentiable `lax.scan` over a bounce range run on
+# the leading rows_g*PACKET lanes, with packet-ROW compaction between
+# rungs (contiguous row gathers, whose VJP is a contiguous row
+# scatter-add) and a `lax.cond` overflow guard: if more rows are live
+# than the rung's static width, that rung runs FULL width instead — no
+# live lane is ever dropped, so the estimator is exact for every scene
+# regardless of how wrong the schedule is (a wrong schedule only costs
+# the cond's full-width branch, i.e. today's behavior).  RNG is keyed off
+# carried per-lane seeds (global pixel index), so streams are
+# schedule-invariant; results match the flat scan at amplified-ulp
+# tolerance (XLA FMA-contraction choices differ across program shapes,
+# as for the forward chain ladder — tests/test_chained.py) with EXACT
+# ray counts.  Under shard_map the rung predicate is pmax'd over the
+# mesh axis so every device takes the same branch and the per-bounce
+# grad-psum collectives stay aligned.
+#
+# TPUPT_DIFF_LADDER: "auto" (default — the schedule measured on the
+# flagship/bunny row-liveness decay, experiments/diff_live_rows.py),
+# "off"/"0" to disable, or comma-separated per-bounce row fractions
+# (last value extends to max_bounces).
+_DIFF_LADDER = os.environ.get("TPUPT_DIFF_LADDER", "auto")
+_DIFF_LADDER_MIN_ROWS = int(os.environ.get("TPUPT_DIFF_LADDER_MIN_ROWS", "64"))
+
+
+def _diff_ladder_auto(mb: int) -> list[float]:
+    """Default per-bounce row-fraction schedule.  Measured row liveness
+    on the bunny fwd+bwd BASELINE config (1024², experiments/
+    diff_live_rows.py): bounce 0 is all rows by construction; after the
+    primary pass whole sky rows die; diffuse chains then thin the rows
+    geometrically.  Values here are the measured means rounded UP to a
+    safety margin (the overflow cond keeps any underestimate exact, but
+    every overflow pays a full-width rung).  Few distinct widths on
+    purpose: each distinct width compiles its own rung bodies."""
+    # Measured mean row fraction per bounce (bunny 1024² spp=4, r5):
+    #   1.000 .463 .442 .373 .198 .133 .077 .054
+    # Rounded UP into FOUR distinct widths (each distinct width compiles
+    # two rung bodies — narrow + cond overflow):
+    sched = [1.0, 0.5, 0.5, 0.5, 0.25, 0.25, 0.09375, 0.09375]
+    if mb <= len(sched):
+        return sched[:mb]
+    return sched + [sched[-1]] * (mb - len(sched))
+
+
+def _diff_ladder_groups(mb: int, n: int):
+    """Resolve the schedule into [(n_bounces, rows)] rung groups, or None
+    for the flat scan (disabled, tiny renders, or a no-op schedule)."""
+    from tpupt.accel.packets import PACKET
+
+    if _DIFF_LADDER in ("0", "off", ""):
+        return None
+    if n % PACKET:
+        return None
+    np_ = n // PACKET
+    if np_ < _DIFF_LADDER_MIN_ROWS:
+        return None
+    if _DIFF_LADDER == "auto":
+        fracs = _diff_ladder_auto(mb)
+    else:
+        fracs = [float(x) for x in _DIFF_LADDER.split(",")]
+        if not fracs:
+            return None
+        fracs = (fracs + [fracs[-1]] * mb)[:mb]
+    rows = []
+    for f in fracs:
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"TPUPT_DIFF_LADDER fractions must be in (0, 1]: {f}")
+        r = np_ if f >= 1.0 else min(np_, max(8, -(-int(f * np_) // 8) * 8))
+        # monotone non-increasing: compaction is one-directional
+        rows.append(min(r, rows[-1]) if rows else r)
+    groups: list[list[int]] = []
+    for r in rows:
+        if groups and groups[-1][1] == r:
+            groups[-1][0] += 1
+        else:
+            groups.append([1, r])
+    if all(r == np_ for _, r in groups):
+        return None
+    return [(nb, r) for nb, r in groups]
+
+
+def _run_diff_ladder(state, seed, body, groups, grad_psum_axis):
+    """Run the differentiable bounce scan over shrinking static rungs.
+
+    ``body`` is the (checkpointed) scan body over carry (state, seed).
+    Between rungs, rows with any live lane compact to the front
+    (contiguous row moves, like the forward ladders); each narrower rung
+    processes only its leading slice, cond-guarded against overflow.
+    Lanes never interact inside ``body`` (per-lane RNG/shading), so this
+    is pure scheduling."""
+    from tpupt.accel.packets import PACKET
+
+    n = state["alive"].shape[0]
+    np_ = n // PACKET
+    tm = jax.tree_util.tree_map
+
+    def is_lane(v):
+        return hasattr(v, "ndim") and v.ndim == 1 and v.shape[0] == n
+
+    def rowperm(tree, order):
+        return tm(
+            lambda v: v.reshape(np_, PACKET)[order].reshape(n)
+            if is_lane(v) else v,
+            tree,
+        )
+
+    def head(tree, m):
+        return tm(lambda v: v[:m] if is_lane(v) else v, tree)
+
+    def putback(full, sub):
+        return tm(
+            lambda f, s: f.at[: s.shape[0]].set(s) if is_lane(f) else s,
+            full, sub,
+        )
+
+    # varying-derived row ids for the final un-permutation
+    src = jnp.arange(np_, dtype=jnp.int32) + (
+        state["depth"][::PACKET] * 0.0
+    ).astype(jnp.int32)
+    permuted = False
+    carry = (state, seed)
+    b0 = 0
+    for nb, rows_g in groups:
+        bs = jnp.arange(b0, b0 + nb, dtype=jnp.int32)
+        b0 += nb
+        if rows_g >= np_:
+            carry, _ = lax.scan(body, carry, bs)
+            continue
+        st, sd = carry
+        live_r = jnp.any(st["alive"].reshape(np_, PACKET), axis=1)
+        order = jnp.argsort(~live_r, stable=True).astype(jnp.int32)
+        st, sd = rowperm(st, order), rowperm(sd, order)
+        src = src[order]
+        permuted = True
+        live_n = jnp.sum(live_r, dtype=jnp.int32)
+        if grad_psum_axis is not None:
+            # every device must take the same branch: the rung bodies
+            # carry per-bounce grad-psum collectives (diff/overlap.py)
+            live_n = lax.pmax(live_n, grad_psum_axis)
+        m = rows_g * PACKET
+
+        def narrow(c, bs=bs, m=m):
+            stf, sdf = c
+            sub, _ = lax.scan(body, (head(stf, m), sdf[:m]), bs)
+            return putback(stf, sub[0]), sdf
+
+        def full_w(c, bs=bs):
+            c2, _ = lax.scan(body, c, bs)
+            return c2
+
+        carry = lax.cond(live_n <= rows_g, narrow, full_w, (st, sd))
+    state = carry[0]
+    if permuted:
+        inv = jnp.zeros_like(src).at[src].set(
+            jnp.arange(np_, dtype=jnp.int32) + src * 0
+        )
+        state = rowperm(state, inv)
+    return state
+
+
 def _partition_perm(alive: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stable-partition permutation: live lanes first.  Built from prefix
     sums + one scatter — `argsort` at 1M lanes costs ~300 ms on v5e, this
@@ -732,7 +900,8 @@ def trace_sample(
         policy = jax.checkpoint_policies.save_only_these_names("hit_ids")
         remat = os.environ.get("TPUPT_REMAT", "1") != "0"
 
-        def body(st, b):
+        def body(carry, b):
+            st, sd = carry
             # Overlapped grad all-reduce (diff/overlap.py): under a
             # sharded mesh, psum each bounce's scene-parameter cotangent
             # inside the backward scan step instead of once post-hoc, so
@@ -743,17 +912,23 @@ def trace_sample(
                 if grad_psum_axis is not None and grad_psum_overlap
                 else scene
             )
-            return (
-                _bounce_body(
-                    s, seed, st, b, rr_start, intersect_fn, use_refine=True,
-                    tri_table=tri_table,
-                ),
-                None,
+            st2 = _bounce_body(
+                s, sd, st, b, rr_start, intersect_fn, use_refine=True,
+                tri_table=tri_table,
             )
+            return (st2, sd), None
 
         if remat:
             body = partial(jax.checkpoint, policy=policy)(body)
-        state, _ = lax.scan(body, state, jnp.arange(max_bounces, dtype=jnp.int32))
+        groups = _diff_ladder_groups(max_bounces, state["alive"].shape[0])
+        if groups is None:
+            (state, _), _ = lax.scan(
+                body, (state, seed), jnp.arange(max_bounces, dtype=jnp.int32)
+            )
+        else:
+            state = _run_diff_ladder(
+                state, seed, body, groups, grad_psum_axis
+            )
 
     # final pixel estimate: collected radiance, plus the raw throughput for
     # paths still alive at the bounce cap (the reference's exhausted-path
