@@ -90,3 +90,76 @@ def test_chain_ladder_matches_flat(full_scene, camera):
     np.testing.assert_allclose(
         np.asarray(buf_lad.depth), np.asarray(buf_flat.depth), atol=2e-5
     )
+
+
+def test_chain_ladder_scheduler_exact_under_jit():
+    """Round-5 regression: the compaction ladder's permutation updated
+    src/rows through x.at[:sz].set(x[:sz][order]) — a gather whose
+    operand is the update target.  Under jit, XLA aliased the buffers
+    and corrupted the permutation from the SECOND compaction on (eager
+    was exact, so every eager test passed while 1024² jitted renders
+    mis-tracked ~25% of pixels).  This drives the scheduler with a
+    deterministic toy trip at multi-compaction scale UNDER JIT and
+    asserts exact per-lane bookkeeping."""
+    import jax
+
+    import tpupt.render.integrator as integ
+    from tpupt.accel.packets import PACKET
+
+    np_ = 256
+    n = np_ * PACKET
+    rng = np.random.default_rng(0)
+    demand = (
+        rng.integers(1, 9, size=(np_, 1))
+        + rng.integers(0, 3, size=(np_, PACKET))
+    ).reshape(-1).astype(np.int32)
+
+    def trip(c):
+        active = ~c["done"]
+        segs = c["segs"] + active.astype(jnp.int32)
+        done = c["done"] | (segs >= c["dem"])
+        return dict(done=done, segs=segs, pix=c["pix"], dem=c["dem"])
+
+    carry = dict(
+        done=jnp.zeros(n, bool),
+        segs=jnp.zeros(n, jnp.int32),
+        pix=jnp.arange(n, dtype=jnp.int32),
+        dem=jnp.asarray(demand),
+    )
+    out = jax.jit(
+        lambda c: integ._run_chain_ladder(c, trip, np_, int(demand.max()))
+    )(carry)
+    np.testing.assert_array_equal(np.asarray(out["segs"]), demand)
+    np.testing.assert_array_equal(np.asarray(out["pix"]), np.arange(n))
+
+
+def test_chain_ladder_matches_flat_under_jit(full_scene, camera):
+    """The real render through the ladder UNDER JIT (the production
+    path; the eager variant above compiles per-op and dodged the
+    aliasing miscompile)."""
+    import functools
+
+    import jax
+
+    import tpupt.render.integrator as integ
+
+    w = h = 64
+    fn = jax.jit(functools.partial(
+        render_image, width=w, height=h, spp=3, max_bounces=6
+    ))
+    buf_flat, rays_flat = fn(full_scene, camera)
+
+    orig_min, orig_div = integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV
+    integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV = 2, 2
+    try:
+        fn2 = jax.jit(functools.partial(
+            render_image, width=w, height=h, spp=3, max_bounces=6
+        ))
+        buf_lad, rays_lad = fn2(full_scene, camera)
+    finally:
+        integ._CHAIN_MIN_ROWS, integ._CHAIN_DIV = orig_min, orig_div
+
+    assert int(rays_flat) == int(rays_lad)
+    np.testing.assert_allclose(
+        np.asarray(buf_lad.color), np.asarray(buf_flat.color), atol=2e-5
+    )

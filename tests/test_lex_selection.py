@@ -98,3 +98,37 @@ def test_lex_selection_exact_ties(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(ex_l["obj"]), np.ones((n,), np.float32)
     )
+
+
+def test_sweep_ladder_compaction_exact_under_jit(monkeypatch):
+    """Round-5 regression companion to
+    test_chained.test_chain_ladder_scheduler_exact_under_jit: the SWEEP
+    ladder's rung compaction (packets._run_ladder) arbitrated bit-exact
+    against a single flat rung UNDER JIT at multi-compaction scale (the
+    chain ladder's x.at[:sz].set(x[:sz][order]) self-aliasing gather
+    corrupted permutations only under jit, so eager tests missed it)."""
+    import jax
+
+    scene = _scene()
+    cam = make_camera(position=(0.13, 0.071, 3.03), vfov=1.35)
+    w = h = 181  # 32761 rays -> 129 packets: rungs 129/64/32, 2 compactions
+    idx = jnp.arange(w * h, dtype=jnp.float32)
+    ro, rd = generate_rays(cam, w, h, idx % w + 0.5, idx // w + 0.5)
+    m = w * h
+    args = (ro, rd, jnp.full((m,), 1e-4), jnp.full((m,), 3.0e38),
+            jnp.ones((m,), bool))
+
+    outs = []
+    for min_rung in (1 << 30, 32):  # flat single rung vs production ladder
+        monkeypatch.setattr(packets, "_LADDER_MIN", min_rung)
+        t, slot, ex = jax.jit(
+            lambda *a: packets.intersect_treelets(scene, *a)
+        )(*args)
+        outs.append((np.asarray(t), np.asarray(slot),
+                     {k: np.asarray(v) for k, v in ex.items()}))
+    (t_f, s_f, e_f), (t_l, s_l, e_l) = outs
+    assert (s_f >= 0).sum() > 1000
+    np.testing.assert_array_equal(t_l, t_f)
+    np.testing.assert_array_equal(s_l, s_f)
+    for k in ("nx", "ny", "nz", "obj"):
+        np.testing.assert_array_equal(e_l[k], e_f[k])

@@ -1183,18 +1183,29 @@ def _run_chain_ladder(carry, trip, np_, max_trips):
             return i + 1, trip(c)
 
         _, sub = lax.while_loop(cond, body, (jnp.int32(0), sub))
-        full = tm(lambda v, s: v.at[: s.shape[0]].set(s), full, sub)
         if not last:
             live_r = jnp.any(~sub["done"].reshape(sz, PACKET), axis=1)
             order = jnp.argsort(~live_r, stable=True).astype(jnp.int32)
 
-            def rowperm(v, order=order, sz=sz, m=m):
-                return v.at[:m].set(
-                    v[:m].reshape(sz, PACKET)[order].reshape(m)
+            # NOTE the permuted head is CONCATENATED with the untouched
+            # tail instead of written through v.at[:m].set(v[:m][order]):
+            # the in-place form let XLA alias the gather's input buffer
+            # with the dynamic-update-slice output, corrupting the
+            # permutation under jit from the SECOND compaction on (eager
+            # execution was exact — caught round 5 by the isolated
+            # scheduler test in tests/test_chained.py; the render-level
+            # symptom was ~28% of pixels wrong at 256²+ with shifted ray
+            # counts).
+            def rowperm(v, s, order=order, sz=sz, m=m):
+                perm = s.reshape(sz, PACKET)[order].reshape(m)
+                return perm if v.shape[0] == m else jnp.concatenate(
+                    [perm, v[m:]]
                 )
 
-            full = tm(rowperm, full)
-            src = src.at[:sz].set(src[:sz][order])
+            full = tm(rowperm, full, sub)
+            src = jnp.concatenate([src[:sz][order], src[sz:]])
+        else:
+            full = tm(lambda v, s: v.at[: s.shape[0]].set(s), full, sub)
 
     # un-permute rows to original order
     inv = jnp.zeros_like(src).at[src].set(jnp.arange(np_, dtype=jnp.int32))
