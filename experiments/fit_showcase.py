@@ -95,14 +95,19 @@ def main():
                   file=sys.stderr)
 
     # stage the fit so a mid-point image can be committed
+    # the recovery story is albedo + emission; fuzz/ior stay frozen (an
+    # unconstrained Adam step on ior can cross -1 and NaN Schlick)
+    mf = ("albedo", "emission")
     fitted_mid, l1 = fit_scene(
         wrong, camera, target, SIZE, SIZE, steps=STEPS // 6,
-        learning_rate=LR, spp=FIT_SPP, max_bounces=FIT_MB, callback=cb,
+        learning_rate=LR, spp=FIT_SPP, max_bounces=FIT_MB,
+        material_filter=mf, callback=cb,
     )
     preview(fitted_mid, os.path.join(images, "fit_during.png"))
     fitted, l2 = fit_scene(
         fitted_mid, camera, target, SIZE, SIZE, steps=STEPS - STEPS // 6,
-        learning_rate=LR, spp=FIT_SPP, max_bounces=FIT_MB, callback=cb,
+        learning_rate=LR, spp=FIT_SPP, max_bounces=FIT_MB,
+        material_filter=mf, callback=cb,
     )
     losses = l1 + l2
     preview(fitted, os.path.join(images, "fit_after.png"))

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/tpupt_prof")
     ap.add_argument("--scene", default="bunny",
-                    choices=("bunny", "multimesh", "ajax"))
+                    choices=("bunny", "multimesh", "ajax", "ajax_hi"))
     args = ap.parse_args()
 
     import jax
@@ -46,7 +46,7 @@ def main():
 
     scene, camera = getattr(harness, f"_scene_{args.scene}")()
     w = h = args.size
-    if args.scene == "ajax":
+    if args.scene in ("ajax", "ajax_hi"):
         w, h = 720, 1280  # the scene's native portrait framing
     fn = jax.jit(partial(
         render_image, width=w, height=h, spp=args.spp,

@@ -57,3 +57,29 @@ def test_fit_background_through_denoiser(sphere_scene, camera):
     np.testing.assert_array_equal(
         np.asarray(fitted.materials.albedo), np.asarray(sphere_scene.materials.albedo)
     )
+
+
+def test_fit_material_filter_freezes_physical_leaves(full_scene, camera):
+    """material_filter restricts the materials group: fuzz/ior must come
+    back untouched and the fit must stay finite on a scene WITH
+    dielectric + metal materials (unconstrained Adam steps on ior can
+    cross -1 where Schlick divides by zero — the round-5 showcase NaN)."""
+    target = _target(full_scene, camera)
+    wrong = full_scene.replace(
+        materials=full_scene.materials.replace(
+            albedo=jnp.full_like(full_scene.materials.albedo, 0.5)
+        )
+    )
+    fitted, losses = fit_scene(
+        wrong, camera, target, W, H,
+        steps=25, learning_rate=0.05, spp=SPP, max_bounces=MB,
+        material_filter=("albedo", "emission"),
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        np.asarray(fitted.materials.fuzz), np.asarray(full_scene.materials.fuzz)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fitted.materials.ior), np.asarray(full_scene.materials.ior)
+    )

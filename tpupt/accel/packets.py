@@ -120,16 +120,23 @@ _LEX_SEL_MIN_K = int(os.environ.get("TPUPT_LEX_SEL_MIN_K", "2048"))
 # Above this padded treelet count, selection switches again: from lex
 # (whose argmin still runs 3 O(K) traversals of the (sz, kpad) entry
 # array per step — 25% of an ajax sweep step at K=3.7k, and linearly
-# worse) to a PRIORITY QUEUE over the existing _SUPER-treelet groups:
-# the carry holds per-super remaining-min entries (sz, ks), each step
-# argmins over supers (O(ks)), row-gathers the winning super's _SUPER
-# entries (one 16-wide contiguous row gather — the same cost class as
-# the treelet block fetch itself), lex-masks/argmins within them
-# (O(_SUPER)), and compare-select-writes the one changed super min back
-# (O(ks)).  Per-step selection cost drops from O(kpad) to O(kpad/16),
-# which is what survives the reference's real ajax scale (K ~ 10^4-10^5,
-# several hundred thousand triangles).  Fetch order is IDENTICAL to
-# clear/lex selection including exact-entry ties: the global (entry,
+# worse) to a PRIORITY QUEUE over the existing _SUPER-treelet groups
+# with NO stored per-child entries at all: the cull phase produces only
+# per-super child-min entries (np, ks), each sweep step argmins over
+# supers (O(ks)), RECOMPUTES the winning super's _SUPER child entries
+# from the packed child-box table against the frozen seed t-cap
+# (bit-equal to the expansion's values — _child_entries), lex-masks/
+# argmins within them (O(_SUPER)), and compare-select-writes the one
+# changed super min back (O(ks)).  Per-step selection cost drops from
+# O(kpad) to O(kpad/16) + one 16-box slab test (~14% of the step's MT
+# flops), and the O(np * kpad) entry array disappears from memory and
+# from every rung compaction — which is what survives the reference's
+# real ajax scale (K ~ 10^4-10^5, several hundred thousand triangles).
+# Storing the entries and gathering 16-wide rows measured WORSE than
+# lex at K=14.8k: TPU tiled layouts turn both the (sz*ks, 16) gather
+# view and a per-row scatter-min into whole-array copies per step (r5,
+# two failed formulations before this one).  Fetch order is IDENTICAL
+# to clear/lex selection including exact-entry ties: the global (entry,
 # index) argmin factors exactly through (per-super min, leftmost super
 # on ties) because a tied lower index lives in a lower-id super.
 _SUPER_SEL_MIN_K = int(os.environ.get("TPUPT_SUPER_SEL_MIN_K", "8192"))
@@ -224,15 +231,84 @@ def _entry_dense(bmin, bmax, rows, act_p):
     return jnp.concatenate(chunks, axis=-1)
 
 
-def _entry_twolevel(scene, rows, act_p):
+def _padded_boxes(scene):
+    """Treelet AABBs padded to a _SUPER multiple (empty min>max pads)."""
+    K = scene.tre_min.shape[0]
+    kpad = -(-K // _SUPER) * _SUPER
+    bmin, bmax = scene.tre_min, scene.tre_max
+    if kpad != K:
+        # empty-box padding (min > max): never hit, +BIG entries
+        bmin = jnp.concatenate([bmin, jnp.full((kpad - K, 3), BIG)], axis=0)
+        bmax = jnp.concatenate([bmax, jnp.full((kpad - K, 3), -BIG)], axis=0)
+    return bmin, bmax, K, kpad, kpad // _SUPER
+
+
+def _childtab(scene):
+    """Packed per-super child AABBs, component-major per super row:
+    [minx*_SUPER, miny*_SUPER, minz*_SUPER, maxx*_SUPER, ...] —
+    (ks, 6*_SUPER).  Pure reshape of the scene tables (CSE'd by XLA)."""
+    bmin, bmax, _, _, ks = _padded_boxes(scene)
+    return jnp.concatenate(
+        [
+            bmin.reshape(ks, _SUPER, 3).transpose(0, 2, 1).reshape(ks, 3 * _SUPER),
+            bmax.reshape(ks, _SUPER, 3).transpose(0, 2, 1).reshape(ks, 3 * _SUPER),
+        ],
+        axis=1,
+    )
+
+
+def _child_entries(cb, ox, oy, oz, ivx, ivy, ivz, tmin, tcap, act):
+    """Exact child entry distances for gathered child-box rows ``cb``
+    ((sz, C*_SUPER) with C groups as in _childtab; C*_SUPER box columns).
+    MUST stay op-for-op identical to the expansion step's slab math in
+    _entry_twolevel: the super-pq sweep recomputes the winning super's
+    entries with this function and relies on bit-equality with the
+    values the expansion minimized over (same single-rounded ops; the
+    lane min is an exact reduction; no add-of-mul patterns for FMA
+    contraction to perturb)."""
+    ns = cb.shape[1] // 6
+
+    def comp(a):
+        return cb[:, a * ns : (a + 1) * ns][:, :, None]
+
+    def nf(axis, o, iv):
+        t0 = (comp(axis) - o[:, None, :]) * iv[:, None, :]
+        t1 = (comp(3 + axis) - o[:, None, :]) * iv[:, None, :]
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx0, fx0 = nf(0, ox, ivx)
+    ny0, fy0 = nf(1, oy, ivy)
+    nz0, fz0 = nf(2, oz, ivz)
+    near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (sz, ns, p)
+    far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
+    hit = (
+        (far >= near)
+        & (far >= tmin[:, None, :])
+        & (near <= tcap[:, None, :])
+        & act[:, None, :]
+    )
+    return jnp.min(jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2)
+
+
+def _entry_twolevel(scene, rows, act_p, supmin_only=False):
     """Two-level cull: dense over _SUPER-treelet super-boxes, then a
     cheap expansion loop computing exact child entries for HIT supers
     only.
 
-    The produced (np, kpad) entry array is BIT-IDENTICAL to the dense
-    one: child boxes are contained in their super (a missed super's
-    children are all misses = +BIG), and the expansion slab math runs
-    the same single-rounded ops per (ray, box) pair.
+    ``supmin_only=False`` (clear/lex scale): returns the (np, kpad)
+    per-child entry array, BIT-IDENTICAL to the dense one: child boxes
+    are contained in their super (a missed super's children are all
+    misses = +BIG), and the expansion slab math runs the same
+    single-rounded ops per (ray, box) pair.
+
+    ``supmin_only=True`` (super-pq scale, kpad >= _SUPER_SEL_MIN_K):
+    returns only the (np, ks) PER-SUPER child-min array — the sweep
+    recomputes the winning super's 16 child entries on demand
+    (_child_entries, bit-equal by construction).  The (np, kpad) entry
+    array is never materialized: at K ~ 1.5e4 its expansion writes,
+    rung-compaction row moves and O(K) scans were ~35% of the render
+    (r5 ajax_hi profile), and at the reference's 500k-tri scale it
+    simply doesn't fit comfortably (4096 rows x 23k treelets = 380 MB).
 
     Caveat (measure-zero with jittered primaries, possible for exactly
     axis-aligned secondary rays in axis-aligned scenes): a ray with an
@@ -242,27 +318,12 @@ def _entry_twolevel(scene, rows, act_p):
     aggregated super plane need not coincide with any child plane, so
     this is the one input class where the two culls can differ.
     """
-    K = scene.tre_min.shape[0]
-    kpad = -(-K // _SUPER) * _SUPER
-    bmin, bmax = scene.tre_min, scene.tre_max
-    if kpad != K:
-        # empty-box padding (min > max): never hit, +BIG entries
-        bmin = jnp.concatenate([bmin, jnp.full((kpad - K, 3), BIG)], axis=0)
-        bmax = jnp.concatenate([bmax, jnp.full((kpad - K, 3), -BIG)], axis=0)
-    ks = kpad // _SUPER
+    bmin, bmax, K, kpad, ks = _padded_boxes(scene)
     sup_min = bmin.reshape(ks, _SUPER, 3).min(axis=1)
     sup_max = bmax.reshape(ks, _SUPER, 3).max(axis=1)
     sup_entry = _entry_dense(sup_min, sup_max, rows, act_p)  # (np, ks)
 
-    # packed child boxes, component-major per super row:
-    # [minx*_SUPER, miny*_SUPER, minz*_SUPER, maxx*_SUPER, ...] — (ks, 6*_SUPER)
-    childtab = jnp.concatenate(
-        [
-            bmin.reshape(ks, _SUPER, 3).transpose(0, 2, 1).reshape(ks, 3 * _SUPER),
-            bmax.reshape(ks, _SUPER, 3).transpose(0, 2, 1).reshape(ks, 3 * _SUPER),
-        ],
-        axis=1,
-    )
+    childtab = _childtab(scene)
 
     np_ = rows["rox"].shape[0]
     iota_s = jnp.arange(ks, dtype=jnp.int32)[None, :]
@@ -272,7 +333,7 @@ def _entry_twolevel(scene, rows, act_p):
     # entries must never be written
     col_valid = (jnp.arange(kpad, dtype=jnp.int32) < K)[None, :]
     # derive from a varying input for shard_map VMA typing
-    entry0 = jnp.full((np_, kpad), BIG) + rows["t"][:, :1] * 0.0
+    zrow = rows["t"][:, :1] * 0.0
 
     # The expansion runs on the shared compaction ladder: a flat loop
     # would pay max-supers-hit lockstep across the whole batch (measured
@@ -283,10 +344,13 @@ def _entry_twolevel(scene, rows, act_p):
         ox=rows["rox"], oy=rows["roy"], oz=rows["roz"],
         ivx=1.0 / rows["rdx"], ivy=1.0 / rows["rdy"], ivz=1.0 / rows["rdz"],
         tmin=rows["tmin"], tcap=rows["t"], act=act_p,
-        sup=sup_entry, entry=entry0,
-        src=entry0[:, 0].astype(jnp.int32) * 0
-        + jnp.arange(np_, dtype=jnp.int32),
+        sup=sup_entry,
+        src=zrow[:, 0].astype(jnp.int32) + jnp.arange(np_, dtype=jnp.int32),
     )
+    if supmin_only:
+        er["supmin"] = jnp.full((np_, ks), BIG) + zrow
+    else:
+        er["entry"] = jnp.full((np_, kpad), BIG) + zrow
 
     def live_of(r):
         return jnp.min(r["sup"], axis=1) < BIG
@@ -298,7 +362,7 @@ def _entry_twolevel(scene, rows, act_p):
             # amortizing carry/selection over R supers at unchanged total
             # slab work halves its lockstep trip count).
             sup = r["sup"]
-            sids, lives, cbs = [], [], []
+            out = dict(r)
             for _ in range(FETCH_R):
                 sid = jnp.argmin(sup, axis=1).astype(jnp.int32)  # (sz,)
                 live = jnp.min(sup, axis=1) < BIG
@@ -306,57 +370,41 @@ def _entry_twolevel(scene, rows, act_p):
                 sup = jnp.where(
                     (iota_s == sid[:, None]) & live[:, None], BIG, sup
                 )
-                sids.append(sid)
-                lives.append(live)
-                cbs.append(childtab[safe])  # (sz, 6*_SUPER) row gather
-
-            def comp(a):  # component a of the R*_SUPER child boxes
-                cols = [cb[:, a * _SUPER : (a + 1) * _SUPER] for cb in cbs]
-                cat = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
-                return cat[:, :, None]
-
-            def nf(axis, o, iv):
-                t0 = (comp(axis) - o[:, None, :]) * iv[:, None, :]
-                t1 = (comp(3 + axis) - o[:, None, :]) * iv[:, None, :]
-                return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
-
-            nx0, fx0 = nf(0, r["ox"], r["ivx"])
-            ny0, fy0 = nf(1, r["oy"], r["ivy"])
-            nz0, fz0 = nf(2, r["oz"], r["ivz"])
-            near = jnp.maximum(jnp.maximum(nx0, ny0), nz0)  # (sz, R*_SUPER, p)
-            far = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
-            hit = (
-                (far >= near)
-                & (far >= r["tmin"][:, None, :])
-                & (near <= r["tcap"][:, None, :])
-                & r["act"][:, None, :]
-            )
-            ech_all = jnp.min(
-                jnp.where(hit, jnp.maximum(near, 0.0), BIG), axis=2
-            )  # (sz, R*_SUPER)
-            out_entry = r["entry"]
-            for ri, (sid, live) in enumerate(zip(sids, lives)):
-                ech = ech_all[:, ri * _SUPER : (ri + 1) * _SUPER]
+                cb = childtab[safe]  # (sz, 6*_SUPER) row gather
+                ech = _child_entries(
+                    cb, r["ox"], r["oy"], r["oz"],
+                    r["ivx"], r["ivy"], r["ivz"],
+                    r["tmin"], r["tcap"], r["act"],
+                )  # (sz, _SUPER)
                 ech = jnp.where(live[:, None], ech, BIG)
-                # scatter-free write: tile matches col k with child k % _SUPER
-                efull = jnp.tile(ech, (1, ks))
-                mask = (col_super == sid[:, None]) & live[:, None] & col_valid
-                out_entry = jnp.where(
-                    mask, jnp.minimum(out_entry, efull), out_entry
-                )
-            out = dict(r)
+                if supmin_only:
+                    # per-super child-min only: one (sz, ks) one-hot write
+                    # — O(ks) instead of the O(kpad) entry-array write
+                    out["supmin"] = jnp.where(
+                        (iota_s == sid[:, None]) & live[:, None],
+                        jnp.min(ech, axis=1)[:, None], out["supmin"],
+                    )
+                else:
+                    # scatter-free write: tile matches col k with child
+                    # k % _SUPER (the .at[rows, col].set form compiled to
+                    # a per-step scatter at ~20x the HBM cost — r2)
+                    efull = jnp.tile(ech, (1, ks))
+                    mask = (
+                        (col_super == sid[:, None]) & live[:, None] & col_valid
+                    )
+                    out["entry"] = jnp.where(
+                        mask, jnp.minimum(out["entry"], efull), out["entry"]
+                    )
             out["sup"] = sup
-            out["entry"] = out_entry
             return out
 
         return step
 
     full = _run_ladder(er, make_step, live_of, max_steps=ks)
     src = full["src"]
-    entry = (
-        jnp.zeros((np_, kpad)) + entry0[:, :1] * 0.0
-    ).at[src].set(full["entry"])
-    return entry
+    if supmin_only:
+        return (jnp.full((np_, ks), BIG) + zrow).at[src].set(full["supmin"])
+    return (jnp.full((np_, kpad), BIG) + zrow).at[src].set(full["entry"])
 
 
 def _pack_rows(ro: Vec3, rd: Vec3, t_min, t_cap, active):
@@ -513,26 +561,38 @@ def _next_treelets_super(scene, r, R, L):
     order — arbitrated bit-identical to clear/lex selection by
     tests/test_super_selection.py incl. exact-entry shared-edge ties.
 
-    The carry holds, besides the read-only ``entry``, the lex pair
-    (sel_val, sel_idx) AND ``supmin`` (sz, ks): the minimum entry among
-    NOT-YET-CONSUMED treelets of each _SUPER-group.  Selecting the global
-    lex-min via (argmin over supers, then argmin within the winning
-    super's gathered 16 entries) is exact: on an equal-value tie the
-    leftmost super wins the outer argmin and the lowest index wins the
-    inner one, which IS global (entry, index) order.  Consuming an entry
-    only changes its own super's min — every other super's remaining set
-    is untouched, and no remaining entry anywhere can be lex-below the
-    new (sel_val, sel_idx) (it would have been selected instead), so the
-    single-column compare-select update keeps supmin exact."""
-    entry = r["entry"]
-    sz, kpad = entry.shape
-    ks = kpad // _SUPER
-    entry3 = entry.reshape(sz, ks, _SUPER)
+    NO per-child entry array exists in this mode.  The carry holds the
+    lex pair (sel_val, sel_idx), ``supmin`` (sz, ks) — the minimum entry
+    among NOT-YET-CONSUMED treelets of each _SUPER-group — and the
+    FROZEN cull inputs (t0 = the seed t-cap, act0): each step recomputes
+    the winning super's 16 child entries from the packed child-box table
+    (_child_entries), bit-equal to what the expansion minimized over
+    (same single-rounded slab ops against the same frozen t0 — the
+    entries are a pure function of (box row, ray, tmin, t0, act0)).
+    Storing them was the O(K) scaling wall: at K=14.8k the (sz, kpad)
+    array's expansion writes + rung-compaction moves + any per-row
+    16-wide gather (which TPU tiled layouts turn into whole-array
+    copies) were ~35% of the render (r5 ajax_hi profiles, two failed
+    gather/scatter formulations included); recomputing costs ~14% of a
+    sweep step's MT flops and touches O(ks + _SUPER*p) memory.
+
+    Selecting the global lex-min via (argmin over supers, then argmin
+    within the winning super's recomputed 16 entries) is exact: on an
+    equal-value tie the leftmost super wins the outer argmin and the
+    lowest index wins the inner one, which IS global (entry, index)
+    order.  Consuming an entry only changes its own super's min — every
+    other super's remaining set is untouched, and no remaining entry
+    anywhere can be lex-below the new (sel_val, sel_idx) (it would have
+    been selected instead), so the single-column compare-select update
+    keeps supmin exact."""
+    supmin = r["supmin"]
+    sz, ks = supmin.shape
+    childtab = _childtab(scene)
+    ivx, ivy, ivz = 1.0 / r["rdx"], 1.0 / r["rdy"], 1.0 / r["rdz"]
     tmax = jnp.max(r["t"], axis=1)
     iota_ks = jnp.arange(ks, dtype=jnp.int32)[None, :]
     iota_s = jnp.arange(_SUPER, dtype=jnp.int32)[None, :]
     iota_l = jnp.arange(L, dtype=jnp.int32)[None, :]
-    supmin = r["supmin"]
     sel_val, sel_idx = r["sel_val"], r["sel_idx"]
     blocks, lives, slots = [], [], []
     for _ in range(R):
@@ -540,9 +600,11 @@ def _next_treelets_super(scene, r, R, L):
         ssid = jnp.argmin(supmin, axis=1).astype(jnp.int32)
         valid = (val < BIG) & (val <= tmax)
         safe_ssid = jnp.where(valid, ssid, 0)
-        es = jnp.take_along_axis(
-            entry3, safe_ssid[:, None, None], axis=1
-        )[:, 0, :]  # (sz, _SUPER) — one contiguous 16-wide row gather
+        cb = childtab[safe_ssid]  # (sz, 6*_SUPER) row gather
+        es = _child_entries(
+            cb, r["rox"], r["roy"], r["roz"], ivx, ivy, ivz,
+            r["tmin"], r["t0"], r["act0"],
+        )  # (sz, _SUPER) — bit-equal to the expansion's values
         gidx = safe_ssid[:, None] * _SUPER + iota_s
         rem = (es > sel_val[:, None]) | (
             (es == sel_val[:, None]) & (gidx > sel_idx[:, None])
@@ -572,21 +634,34 @@ def _next_treelets_super(scene, r, R, L):
     return sel_updates, blocks, cat(lives), cat(slots)
 
 
-def _init_selection(rows, np_):
-    """Attach the selection-mode carry keys for the entry array's K:
-    super-pq above _SUPER_SEL_MIN_K, lex above _LEX_SEL_MIN_K, plain
-    clear-mode otherwise (no extra keys)."""
-    kpad = rows["entry"].shape[1]
-    if kpad < _LEX_SEL_MIN_K:
-        return rows
+def _super_mode(scene) -> bool:
+    """Super-pq selection engages when the padded treelet count reaches
+    _SUPER_SEL_MIN_K (two-level culling is always on well below that)."""
+    K = scene.tre_min.shape[0]
+    kpad = -(-K // _SUPER) * _SUPER
+    return K >= _TWOLEVEL_MIN_K and kpad >= _SUPER_SEL_MIN_K
+
+
+def _init_selection(scene, rows, act_p, np_):
+    """Run the cull phase and attach the selection-mode carry keys:
+    super-pq above _SUPER_SEL_MIN_K (per-super mins only, no entry
+    array), lex above _LEX_SEL_MIN_K (read-only entry), clear-mode
+    otherwise (entry, no extra keys)."""
     zf = rows["t"][:, 0] * 0.0
-    # nothing is lex-<= the (-BIG, -1) init: the consumed set starts empty
-    rows["sel_val"] = zf - BIG
-    rows["sel_idx"] = zf.astype(jnp.int32) - 1
-    if kpad >= _SUPER_SEL_MIN_K and kpad % _SUPER == 0:
-        rows["supmin"] = rows["entry"].reshape(
-            np_, kpad // _SUPER, _SUPER
-        ).min(axis=2)
+    if _super_mode(scene):
+        rows["supmin"] = _entry_twolevel(scene, rows, act_p, supmin_only=True)
+        rows["sel_val"] = zf - BIG
+        rows["sel_idx"] = zf.astype(jnp.int32) - 1
+        # frozen cull inputs for the in-step entry recompute
+        rows["t0"] = rows["t"] + 0.0
+        rows["act0"] = act_p
+        return rows
+    rows["entry"] = _cull_entries(scene, rows, act_p)
+    if rows["entry"].shape[1] >= _LEX_SEL_MIN_K:
+        # nothing is lex-<= the (-BIG, -1) init: the consumed set starts
+        # empty
+        rows["sel_val"] = zf - BIG
+        rows["sel_idx"] = zf.astype(jnp.int32) - 1
     return rows
 
 
@@ -839,11 +914,10 @@ def intersect_treelets(
     K = scene.tre_min.shape[0]
 
     rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_seed, active)
-    rows["entry"] = _cull_entries(scene, rows, act_p)
 
     # sweep outputs (derive from varying inputs for shard_map VMA typing)
     zero_p = rows["t"] * 0.0
-    rows = _init_selection(rows, np_)
+    rows = _init_selection(scene, rows, act_p, np_)
     rows["slot"] = zero_p.astype(jnp.int32) - 1
     rows["nx"] = zero_p
     rows["ny"] = zero_p
@@ -909,8 +983,7 @@ def intersect_treelets_anyhit(
     n = ro.x.shape[0]
 
     rows, act_p, np_, p = _pack_rows(ro, rd, t_min, t_limit, active)
-    rows["entry"] = _cull_entries(scene, rows, act_p)
-    rows = _init_selection(rows, np_)
+    rows = _init_selection(scene, rows, act_p, np_)
     rows["src"] = (rows["t"][:, 0] * 0.0).astype(jnp.int32) + jnp.arange(
         np_, dtype=jnp.int32
     )

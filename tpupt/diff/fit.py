@@ -69,12 +69,18 @@ def fit_scene(
     denoise: bool = False,
     fit_geometry: bool = False,
     param_filter: Iterable[str] | None = ("materials", "bg_down", "bg_up"),
+    material_filter: Iterable[str] | None = None,
     callback: Callable[[int, float], None] | None = None,
 ):
     """Adam-optimize scene parameters toward ``target``.
 
     ``param_filter`` names the top-level parameter groups to optimize
-    (others stay frozen); pass None for all.  ``fit_geometry=True`` adds
+    (others stay frozen); pass None for all.  ``material_filter``
+    optionally restricts the "materials" group to named leaves (e.g.
+    ("albedo", "emission")) — unconstrained Adam steps on ``ior`` can
+    walk a dielectric through ior = -1 where Schlick's (1-ior)/(1+ior)
+    divides by zero, NaN-ing the whole fit; freeze physical leaves you
+    are not actually recovering.  ``fit_geometry=True`` adds
     sphere/vertex parameters and re-bakes the treelet table every step.
 
     Returns (fitted SceneArrays, list of losses).
@@ -88,6 +94,15 @@ def fit_scene(
         params = {k: v for k, v in params.items() if k in keys}
     else:
         frozen = {}
+    frozen_mats = {}
+    if material_filter is not None and "materials" in params:
+        mkeys = set(material_filter)
+        frozen_mats = {
+            k: v for k, v in params["materials"].items() if k not in mkeys
+        }
+        params["materials"] = {
+            k: v for k, v in params["materials"].items() if k in mkeys
+        }
 
     loss_fn = partial(
         render_loss,
@@ -102,8 +117,14 @@ def fit_scene(
         rebake=fit_geometry,
     )
 
+    def merge(p):
+        full = {**frozen, **p}
+        if frozen_mats:
+            full["materials"] = {**frozen_mats, **p["materials"]}
+        return full
+
     def full_loss(p):
-        return loss_fn({**frozen, **p})
+        return loss_fn(merge(p))
 
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
@@ -122,7 +143,7 @@ def fit_scene(
         if callback is not None:
             callback(i, losses[-1])
 
-    fitted = with_params(scene, {**frozen, **params})
+    fitted = with_params(scene, merge(params))
     if fit_geometry:
         fitted = rebake_treelets(fitted)
     return fitted, losses
