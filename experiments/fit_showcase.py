@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 SIZE = 256
 FIT_SPP = 2
 FIT_MB = 4
-STEPS = 240
+STEPS = 1200
 LR = 0.05
 PREVIEW_SPP = 200  # forward (chained) renders for the committed images
 

@@ -50,6 +50,13 @@ def main():
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n}"
     )
+    # Equal semantics on both sides of the machinery ratio: at this
+    # bench's tiny per-device bands the diff-scan width ladder engages
+    # single-device (256 rows) but not per-shard (32 rows < MIN_ROWS) —
+    # an artifact of the virtual mesh's scale, not of sharding (real
+    # chips carry >= 1M lanes each and ladder everywhere).  Disable it
+    # for both so the fwd+bwd ratio isolates sharding machinery.
+    os.environ.setdefault("TPUPT_DIFF_LADDER", "off")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -142,7 +149,14 @@ def main():
         "single_dev_mrays": round(int(rays1) / t1 / 1e6, 3),
         "sharded_mrays": round(int(raysn) / tn / 1e6, 3),
         "efficiency_machinery": round(t1 / tn, 4),
-        "efficiency_machinery_fwdbwd": round(tg1 / t_overlap, 4),
+        # best psum placement for THIS fabric: on the virtual CPU mesh
+        # collectives aren't async, so the per-bounce overlapped
+        # placement costs ~25% (it is an ICI optimization); post-hoc is
+        # the honest machinery bound here
+        "efficiency_machinery_fwdbwd": round(
+            tg1 / min(t_overlap, t_posthoc), 4
+        ),
+        "efficiency_machinery_fwdbwd_overlap": round(tg1 / t_overlap, 4),
         "efficiency_virtual": round(eff_virtual, 4),
         "efficiency_ceiling_cores": round(os.cpu_count() / n, 4),
         "fwd_bwd_single_s": round(tg1, 4),
