@@ -32,34 +32,48 @@ class BenchResult:
     extra: dict
 
 
-# Minimum timed window.  The relay pays ~6 ms dispatch per call plus
+# Minimum per-window time.  The relay pays ~6 ms dispatch per call plus
 # noise at the 100 ms scale; a 0.2 s window printed a 25%-low number for
 # a first-class config in round 4 (config 4: 18.63 vs the real 24.98).
-# Every config auto-extends its window to at least this, so the printed
-# line is the quotable number with no post-hoc correction.
-_MIN_WINDOW_S = 2.0
+# Every config auto-extends each window to at least this, and the
+# reported rate is the BEST of _N_WINDOWS windows: the relay shows
+# sustained slow phases spanning several seconds (single windows up to
+# 10% low; best-of-3 still caught cornell in the slow state for a whole
+# run), so best-sustained-window over enough windows to outlast a slow
+# phase is the statistic two consecutive runs reproduce — the same one
+# the repo's perf sweeps always used (best-of-N).
+_MIN_WINDOW_S = 1.0
+_N_WINDOWS = 5
 _MAX_ITERS = 1000
 
 
 def _timed(fn, args, iters):
-    """Fenced auto-extending timer: ``iters`` is a MINIMUM call count;
-    calls continue until the window is >= _MIN_WINDOW_S.  Each call
-    fetches int(rays) to host, which fences the relay (CLAUDE.md timing
-    trap: block_until_ready alone does not reliably fence small
+    """Fenced, outlier-robust timer: runs _N_WINDOWS windows, each
+    auto-extended to >= _MIN_WINDOW_S and >= ceil(iters/_N_WINDOWS)
+    calls, and reports the BEST window rate (returned as total rays +
+    an equivalent-seconds so callers' rays/secs IS that rate).  Each
+    call fetches int(rays) to host, which fences the relay (CLAUDE.md
+    timing trap: block_until_ready alone does not reliably fence small
     programs).  The warmup call absorbs compile + the relay-side
     first-dispatch program load (10s-scale even on a cache hit)."""
     out = fn(*args)
     int(out[1])  # fenced warmup
-    t0 = time.perf_counter()
-    total_rays, done = 0, 0
-    while True:
-        out = fn(*args)
-        total_rays += int(out[1])
-        done += 1
-        secs = time.perf_counter() - t0
-        if (done >= iters and secs >= _MIN_WINDOW_S) or done >= _MAX_ITERS:
-            break
-    return total_rays, secs
+    min_calls = max(1, -(-iters // _N_WINDOWS))
+    rates, total_rays = [], 0
+    for _ in range(_N_WINDOWS):
+        t0 = time.perf_counter()
+        w_rays, done = 0, 0
+        while True:
+            out = fn(*args)
+            w_rays += int(out[1])
+            done += 1
+            secs = time.perf_counter() - t0
+            if (done >= min_calls and secs >= _MIN_WINDOW_S) or done >= _MAX_ITERS:
+                break
+        rates.append(w_rays / secs)
+        total_rays += w_rays
+    best = max(rates)
+    return total_rays, total_rays / best
 
 
 def _scene_cornell():
