@@ -659,8 +659,13 @@ def _diff_ladder_auto(mb: int) -> list[float]:
     # Measured mean row fraction per bounce (bunny 1024² spp=4, r5):
     #   1.000 .463 .442 .373 .198 .133 .077 .054
     # Rounded UP into FOUR distinct widths (each distinct width compiles
-    # two rung bodies — narrow + cond overflow):
-    sched = [1.0, 0.5, 0.5, 0.5, 0.25, 0.25, 0.09375, 0.09375]
+    # two rung bodies — narrow + cond overflow).  The tighter quantization
+    # measured 13.32 vs 13.09 Mrays/s over the looser .5/.25/.094 variant
+    # at the fwd+bwd BASELINE config; margins are thin (1-10% over the
+    # measured means), but an overflowing rung only costs that rung's
+    # full-width cond branch — i.e. the pre-ladder behavior.
+    sched = [1.0, 0.46875, 0.46875, 0.46875,
+             0.21875, 0.21875, 0.078125, 0.078125]
     if mb <= len(sched):
         return sched[:mb]
     return sched + [sched[-1]] * (mb - len(sched))
